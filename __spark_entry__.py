@@ -1,38 +1,585 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 implemented with the
+engine (`ipl_dagster_pipeline_spark`); ``oracle_sql()`` holds the equivalent
+DuckDB SQL over the same parquet views.  Transcript-shaped queries derive the
+``transcripts`` / ``tool_dim`` / ``conv_dim`` tables deterministically from
+``events`` with IDENTICAL logic on both engines (sources/transcripts.py CTEs).
+
+Cross-engine hygiene (drivers hash values after sorting columns by name):
+* timestamps are emitted as epoch microseconds (``unix_micros`` / ``epoch_us``)
+* floating aggregates are rounded on BOTH sides
+* every computed column is aliased identically on both sides
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipl_dagster_pipeline_spark.operators.asof import (
+    asof_join_broadcast_range,
+    asof_join_cogrouped,
+)
+from ipl_dagster_pipeline_spark.operators.relational import (
+    anti_join,
+    broadcast_dim_join,
+    group_pivot_sum,
+    map_lookup,
+    semi_join,
+    temporal_validity_filter,
+    union_by_name,
+)
+from ipl_dagster_pipeline_spark.operators.sessionize import (
+    session_aggregates,
+    sessionize,
+    sessionize_grouped,
+)
+from ipl_dagster_pipeline_spark.operators.windows import (
+    backfill,
+    rank_dedup,
+    with_lag_features,
+    with_lead_targets,
+    with_rolling_range,
+    with_rolling_rows,
+)
+from ipl_dagster_pipeline_spark.plans.features import build_turn_features
+from ipl_dagster_pipeline_spark.schema import TRANSCRIPT_SCHEMA, enforce_schema
+from ipl_dagster_pipeline_spark.sources.transcripts import (
+    CONV_DIM_CTE,
+    TOOL_DIM_CTE,
+    TRANSCRIPTS_CTE,
+    conv_dim_from_events,
+    tool_dim_from_events,
+    transcripts_from_events,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+WITH_T = f"WITH {TRANSCRIPTS_CTE.strip()}"
+WITH_TD = f"WITH {TRANSCRIPTS_CTE.strip()}, {TOOL_DIM_CTE.strip()}"
+
+# The canonical window, as SQL text (stable tie-break on turn_idx).
+W_SQL = "PARTITION BY conv_id ORDER BY ts, turn_idx"
+# floor-seconds epoch, matching Spark's cast(timestamp as long)
+SECS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_us(df: DataFrame, *cols: str) -> DataFrame:
+    """Replace timestamp cols by epoch-microsecond bigints named <col>_us."""
+    for c in cols:
+        # parquet written by pandas reads as TIMESTAMP_NTZ; session tz is UTC
+        # so the cast to TIMESTAMP is the identity instant
+        df = df.withColumn(f"{c}_us", F.unix_micros(F.col(c).cast("timestamp"))).drop(c)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# transcript feature queries
+# ---------------------------------------------------------------------------
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return _ts_us(with_lag_features(t), "ts")
+
+
+SQL_LAG = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool,
+       lag(role) OVER ({W_SQL}) AS prev_role_1,
+       lag(tool) OVER ({W_SQL}) AS prev_tool_1,
+       {SECS} - lag({SECS}) OVER ({W_SQL}) AS ts_delta_s_1,
+       epoch_us(ts) AS ts_us
+FROM transcripts
+"""
+
+
+def q_lead_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return _ts_us(with_lead_targets(t), "ts")
+
+
+SQL_LEAD = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool,
+       lead(role) OVER ({W_SQL}) AS lead_role_1,
+       lead(text) OVER ({W_SQL}) AS lead_text_1,
+       epoch_us(ts) AS ts_us
+FROM transcripts
+"""
+
+
+def q_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    out = with_rolling_rows(t, F.col("text_len"), k=5, out_prefix="chars")
+    return _ts_us(out.withColumn("chars_avg_5", F.round("chars_avg_5", 6)), "ts")
+
+
+SQL_ROLL_ROWS = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(sum(CAST(length(text) AS BIGINT)) OVER w5 AS BIGINT) AS chars_sum_5,
+       round(avg(CAST(length(text) AS BIGINT)) OVER w5, 6) AS chars_avg_5,
+       count(CAST(length(text) AS BIGINT)) OVER w5 AS chars_cnt_5
+FROM transcripts
+WINDOW w5 AS ({W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    return _ts_us(with_rolling_range(t, F.col("text_len"), seconds=3600, out_prefix="chars"), "ts")
+
+
+SQL_ROLL_RANGE = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(sum(CAST(length(text) AS BIGINT)) OVER wr AS BIGINT) AS chars_rsum_3600s,
+       count(CAST(length(text) AS BIGINT)) OVER wr AS chars_rcnt_3600s
+FROM transcripts
+WINDOW wr AS (PARTITION BY conv_id ORDER BY {SECS}
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return _ts_us(backfill(t, "tool", out="tool_ffill"), "ts")
+
+
+SQL_BACKFILL = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,
+       last_value(tool IGNORE NULLS) OVER ({W_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_ffill
+FROM transcripts
+"""
+
+SQL_SESSIONIZE = f"""{WITH_T},
+g AS (
+    SELECT *, {SECS} - lag({SECS}) OVER ({W_SQL}) AS delta
+    FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,
+       CAST(sum(CASE WHEN delta IS NULL OR delta > 1800 THEN 1 ELSE 0 END)
+            OVER ({W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+           AS session_id
+FROM g
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return _ts_us(sessionize(t, gap_seconds=1800), "ts")
+
+
+def q_sessionize_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via vectorized grouped-map pandas (Arrow) — north rule."""
+    t = transcripts_from_events(spark, sf_dir)
+    return _ts_us(sessionize_grouped(t, gap_seconds=1800), "ts")
+
+
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    agg = session_aggregates(sessionize(t, gap_seconds=1800))
+    return _ts_us(agg, "session_start", "session_end")
+
+
+SQL_SESSION_AGG = f"""{WITH_T},
+g AS (
+    SELECT *, {SECS} - lag({SECS}) OVER ({W_SQL}) AS delta
+    FROM transcripts
+),
+s AS (
+    SELECT *, CAST(sum(CASE WHEN delta IS NULL OR delta > 1800 THEN 1 ELSE 0 END)
+              OVER ({W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+              AS session_id
+    FROM g
+)
+SELECT conv_id, session_id,
+       count(*) AS n_turns,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       max({SECS}) - min({SECS}) AS span_s,
+       count(DISTINCT tool) AS n_tools,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM s
+GROUP BY conv_id, session_id
+"""
+
+
+def q_asof_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via interval-broadcast (low-cardinality key path)."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = tool_dim_from_events(spark, sf_dir)
+    out = asof_join_broadcast_range(t, d, key="tool", ts_col="ts")
+    return _ts_us(out, "ts", "matched_effective_from")
+
+
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via cogrouped-map pandas merge_asof (sort-merge path)."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = tool_dim_from_events(spark, sf_dir)
+    out = asof_join_cogrouped(t, d, key="tool", ts_col="ts")
+    return _ts_us(out, "ts", "matched_effective_from")
+
+
+SQL_ASOF = f"""{WITH_TD}
+SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, epoch_us(t.ts) AS ts_us,
+       d.tool_category, d.cost_weight,
+       epoch_us(d.effective_from) AS matched_effective_from_us
+FROM transcripts t
+ASOF LEFT JOIN tool_dim d
+  ON t.tool = d.tool AND t.ts >= d.effective_from
+"""
+
+
+def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    out = rank_dedup(t, ["conv_id", "turn_idx"], [F.col("ts"), F.col("text")], keep="first")
+    return _ts_us(out, "ts")
+
+
+SQL_DEDUP = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM transcripts
+QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, text) = 1
+"""
+
+
+def q_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: coerce an eventish frame to the declared transcript schema —
+    missing cols created as typed nulls, extras dropped, dtypes cast."""
+    ev = _read(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),  # long → must cast to int
+        F.col("props").alias("text"),
+        F.col("ts"),
+        F.col("value"),  # extra column → must be dropped
+    )
+    return _ts_us(enforce_schema(raw, TRANSCRIPT_SCHEMA), "ts")
+
+
+SQL_SCHEMA_ENFORCE = """
+SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(event_id AS INTEGER) AS turn_idx,
+       CAST(NULL AS VARCHAR) AS role,
+       props AS text,
+       CAST(NULL AS VARCHAR) AS tool,
+       epoch_us(ts) AS ts_us
+FROM events
+"""
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end feature build: as-of dim join + lag + rolling + backfill +
+    sessionize, all PIT-correct."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = tool_dim_from_events(spark, sf_dir)
+    out = build_turn_features(t, d)
+    out = out.withColumn("chars_avg_5", F.round("chars_avg_5", 6))
+    return _ts_us(out, "ts", "matched_effective_from")
+
+
+SQL_FLAGSHIP = f"""{WITH_TD},
+j AS (
+    SELECT t.*, CAST(length(t.text) AS BIGINT) AS text_len,
+           d.tool_category, d.cost_weight, d.effective_from AS matched_effective_from
+    FROM transcripts t
+    ASOF LEFT JOIN tool_dim d ON t.tool = d.tool AND t.ts >= d.effective_from
+),
+g AS (
+    SELECT *, {SECS} - lag({SECS}) OVER ({W_SQL}) AS delta
+    FROM j
+)
+SELECT conv_id, turn_idx, role, text, tool, tool_category, cost_weight, text_len,
+       epoch_us(ts) AS ts_us, epoch_us(matched_effective_from) AS matched_effective_from_us,
+       lag(role) OVER ({W_SQL}) AS prev_role_1,
+       lag(tool) OVER ({W_SQL}) AS prev_tool_1,
+       {SECS} - lag({SECS}) OVER ({W_SQL}) AS ts_delta_s_1,
+       CAST(sum(text_len) OVER w5 AS BIGINT) AS chars_sum_5,
+       round(avg(text_len) OVER w5, 6) AS chars_avg_5,
+       count(text_len) OVER w5 AS chars_cnt_5,
+       CAST(sum(text_len) OVER wr AS BIGINT) AS chars_rsum_3600s,
+       count(text_len) OVER wr AS chars_rcnt_3600s,
+       last_value(tool IGNORE NULLS) OVER ({W_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_ffill,
+       CAST(sum(CASE WHEN delta IS NULL OR delta > 1800 THEN 1 ELSE 0 END)
+            OVER ({W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+           AS session_id
+FROM g
+WINDOW w5 AS ({W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       wr AS (PARTITION BY conv_id ORDER BY {SECS}
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregate (bench headline q1)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: fact×dim broadcast chain orders→customer→nation→region."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    enriched = broadcast_dim_join(
+        orders, cust.select("c_custkey", "c_name", "c_nationkey"), on=[orders.o_custkey == cust.c_custkey]
+    )
+    enriched = broadcast_dim_join(enriched, nation, on=[F.col("c_nationkey") == nation.n_nationkey])
+    enriched = broadcast_dim_join(enriched, region, on=[F.col("n_regionkey") == region.r_regionkey])
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+SQL_BROADCAST_ENRICH = """
+SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: customers with no orders (left-anti)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(cust, orders, on="c_custkey").select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: parts that appear in at least one lineitem (left-semi)."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return semi_join(part, li, on="p_partkey").select("p_partkey", "p_name", "p_brand")
+
+
+SQL_SEMI = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: group-sum + pivot with explicit pivot domain (no distinct pass)."""
+    orders = _read(spark, sf_dir, "orders")
+    out = group_pivot_sum(
+        orders, ["o_orderpriority"], "o_orderstatus", "o_totalprice", pivot_values=["F", "O", "P"]
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("total_f"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("total_o"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("total_p"),
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS total_f,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS total_o,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS total_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-by-name across differently-shaped frames."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return union_by_name([cust, supp])
+
+
+SQL_UNION = """
+SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal, 'customer' AS kind
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+"""
+
+
+def q_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: temporal validity filter (drop rows expired before as_of)."""
+    ev = _read(spark, sf_dir, "events")
+    out = temporal_validity_filter(ev, "ts", "2024-01-15 00:00:00")
+    return _ts_us(out.select("event_id", "user_id", "event_type", "value", "ts"), "ts")
+
+
+SQL_TEMPORAL = """
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: dict-lookup mapping with default (INCIDENT_TYPE_MAPPPING analog)."""
+    ev = _read(spark, sf_dir, "events")
+    mapping = {"click": "INTERACTION", "view": "INTERACTION", "purchase": "CONVERSION"}
+    return ev.groupBy(
+        map_lookup(F.col("event_type"), mapping, "OTHER").alias("event_class")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+SQL_MAP_LOOKUP = """
+SELECT CASE WHEN event_type = 'click' THEN 'INTERACTION'
+            WHEN event_type = 'view' THEN 'INTERACTION'
+            WHEN event_type = 'purchase' THEN 'CONVERSION'
+            ELSE 'OTHER' END AS event_class,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-style nested payload decode: parse the JSON props column."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+    )
+
+
+SQL_JSON = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end PIT feature build on sf0.001."""
+    return q_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # windowed features (SURVEY §2.6)
+        "lag_features": q_lag_features,
+        "lead_targets": q_lead_targets,
+        "rolling_rows": q_rolling_rows,
+        "rolling_range": q_rolling_range,
+        "backfill_ffill": q_backfill,
+        # sessionization (W5) — both physical paths, same oracle
+        "sessionize_window": q_sessionize,
+        "sessionize_grouped": q_sessionize_grouped,
+        "session_aggregates": q_session_agg,
+        # as-of join (J5) — both physical paths, same oracle
+        "asof_broadcast_range": q_asof_tool,
+        "asof_cogrouped": q_asof_cogrouped,
+        # dedup / schema (P1/P7)
+        "dedup_turns": q_dedup_turns,
+        "schema_enforce": q_schema_enforce,
+        # flagship end-to-end
+        "flagship_features": q_flagship,
+        # relational core (§2.3-2.5, §2.7-2.8)
+        "q1_pricing_summary": q_pricing_summary,
+        "broadcast_enrich": q_broadcast_enrich,
+        "anti_join_customers": q_anti_join,
+        "semi_join_parts": q_semi_join,
+        "pivot_order_status": q_pivot_status,
+        "union_entities": q_union_entities,
+        "temporal_filter": q_temporal_filter,
+        "map_lookup_classes": q_map_lookup,
+        "json_extract_props": q_json_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lag_features": SQL_LAG,
+        "lead_targets": SQL_LEAD,
+        "rolling_rows": SQL_ROLL_ROWS,
+        "rolling_range": SQL_ROLL_RANGE,
+        "backfill_ffill": SQL_BACKFILL,
+        "sessionize_window": SQL_SESSIONIZE,
+        "sessionize_grouped": SQL_SESSIONIZE,
+        "session_aggregates": SQL_SESSION_AGG,
+        "asof_broadcast_range": SQL_ASOF,
+        "asof_cogrouped": SQL_ASOF,
+        "dedup_turns": SQL_DEDUP,
+        "schema_enforce": SQL_SCHEMA_ENFORCE,
+        "flagship_features": SQL_FLAGSHIP,
+        "q1_pricing_summary": SQL_PRICING,
+        "broadcast_enrich": SQL_BROADCAST_ENRICH,
+        "anti_join_customers": SQL_ANTI,
+        "semi_join_parts": SQL_SEMI,
+        "pivot_order_status": SQL_PIVOT,
+        "union_entities": SQL_UNION,
+        "temporal_filter": SQL_TEMPORAL,
+        "map_lookup_classes": SQL_MAP_LOOKUP,
+        "json_extract_props": SQL_JSON,
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing collected
+to the driver).  Also reports turns/sec for the flagship feature build — the
+BASELINE.json target metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from ipl_dagster_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_features",
+    "sessionize_window",
+    "sessionize_grouped",
+    "asof_broadcast_range",
+    "asof_cogrouped",
+    "rolling_range",
+    "session_aggregates",
+    "q1_pricing_summary",
+    "broadcast_enrich",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="ipl-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once (not counted)
+    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    flag = timings.get("flagship_features") or 1e-9
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (feature-build engine, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "turns": n_turns,
+                "flagship_turns_per_sec": round(n_turns / flag, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Windowed feature operators: lag/lead, rolling (rows + range), backfill,
+rank-dedup (SURVEY §2.6 W1-W4).
+
+Every window orders by ``(ts, turn_idx)`` — never ``ts`` alone — so ties are
+broken deterministically and the per-turn text-equality invariant holds under
+any parallelism (reference precedent: deterministic keep-first dedup,
+lamassu.py:307).
+
+Point-in-time safety: only ``rowsBetween(-inf, 0)`` / ``rangeBetween(-x, 0)``
+frames are used for feature columns; ``lead`` is exposed only for explicitly
+labeled *target* columns (``lead_`` prefix) which a PIT-feature consumer must
+exclude (SURVEY §7 "zero temporal leakage").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+KEY = "conv_id"
+ORDER = ("ts", "turn_idx")
+
+
+def turn_window(key: str = KEY) -> WindowSpec:
+    """The canonical per-conversation window with stable tie-breaking."""
+    return Window.partitionBy(key).orderBy(*ORDER)
+
+
+def with_lag_features(
+    df: DataFrame,
+    cols: dict[str, Column] | None = None,
+    n: int = 1,
+    key: str = KEY,
+) -> DataFrame:
+    """lag-n features per conversation (SURVEY W3).
+
+    Default feature block: previous role, previous tool, seconds since the
+    previous turn.  One shuffle on ``key``; all expressions JVM-side.
+    """
+    w = turn_window(key)
+    if cols is None:
+        cols = {
+            f"prev_role_{n}": F.lag("role", n).over(w),
+            f"prev_tool_{n}": F.lag("tool", n).over(w),
+            f"ts_delta_s_{n}": (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), n).over(w)
+            ).cast("long"),
+        }
+    out = df
+    for name, expr in cols.items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def with_lead_targets(df: DataFrame, n: int = 1, key: str = KEY) -> DataFrame:
+    """lead-n TARGET columns (``lead_`` prefix = excluded from PIT features)."""
+    w = turn_window(key)
+    return df.withColumn(f"lead_role_{n}", F.lead("role", n).over(w)).withColumn(
+        f"lead_text_{n}", F.lead("text", n).over(w)
+    )
+
+
+def with_rolling_rows(
+    df: DataFrame,
+    value: Column,
+    k: int,
+    out_prefix: str,
+    key: str = KEY,
+) -> DataFrame:
+    """Rolling aggregates over the last ``k`` rows INCLUDING current (W4, rows
+    frame).  Frame ends at CURRENT ROW — never looks forward."""
+    w = turn_window(key).rowsBetween(-(k - 1), Window.currentRow)
+    return (
+        df.withColumn(f"{out_prefix}_sum_{k}", F.sum(value).over(w))
+        .withColumn(f"{out_prefix}_avg_{k}", F.avg(value).over(w))
+        .withColumn(f"{out_prefix}_cnt_{k}", F.count(value).over(w))
+    )
+
+
+def with_rolling_range(
+    df: DataFrame,
+    value: Column,
+    seconds: int,
+    out_prefix: str,
+    key: str = KEY,
+) -> DataFrame:
+    """Rolling aggregates over a trailing time range ``[ts - seconds, ts]``
+    (W4, range frame).  Range frames need a single numeric sort key, so we
+    order by epoch seconds; ties on ts collapse into the same range position
+    which is the correct time-window semantics."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-seconds, 0)
+    )
+    return df.withColumn(f"{out_prefix}_rsum_{seconds}s", F.sum(value).over(w)).withColumn(
+        f"{out_prefix}_rcnt_{seconds}s", F.count(value).over(w)
+    )
+
+
+def backfill(df: DataFrame, col: str, out: str | None = None, key: str = KEY) -> DataFrame:
+    """Forward-fill (a.k.a. backfill a sparse column from the past): the last
+    non-null value at or before the current turn (W2) — the generalization of
+    the reference's latest-image-as-of-now probe (webcam_worker.py:154-207).
+
+    PIT-safe by construction: frame is (-inf, 0].
+    """
+    w = turn_window(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out or f"{col}_ffill", F.last(col, ignorenulls=True).over(w))
+
+
+def rank_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    keep: str = "first",
+) -> DataFrame:
+    """Dedup by key with deterministic keep-first/keep-last (SURVEY P7/W1).
+
+    ``keep='last'`` flips the ordering.  Reference parity:
+    ``drop_duplicates(subset=…, keep='first'|'last')`` (lamassu.py:221,306-311).
+    """
+    ordering = order if keep == "first" else [c.desc() for c in order]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def top_k_per_group(df: DataFrame, keys: list[str], order: list[Column], k: int) -> DataFrame:
+    """Top-k per group via ranking window (SURVEY §2.7 note)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

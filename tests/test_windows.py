@@ -1,0 +1,79 @@
+"""Window features vs a single-process pandas oracle (SURVEY §5 test plan)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ipl_dagster_pipeline_spark.operators.windows import (
+    backfill,
+    rank_dedup,
+    top_k_per_group,
+    with_lag_features,
+    with_rolling_rows,
+)
+
+
+def _sorted_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+def test_lag_features_match_pandas(small_transcripts, small_transcripts_pdf):
+    got = _sorted_pdf(with_lag_features(small_transcripts).toPandas())
+    exp = _sorted_pdf(small_transcripts_pdf.copy())
+    g = exp.groupby("conv_id", sort=False)
+    exp["prev_role_1"] = g["role"].shift(1)
+    exp["prev_tool_1"] = g["tool"].shift(1)
+    exp["ts_delta_s_1"] = g["ts"].diff().dt.total_seconds()
+    pd.testing.assert_series_equal(got["prev_role_1"], exp["prev_role_1"].astype(object).where(exp["prev_role_1"].notna(), None), check_names=False)
+    assert got["ts_delta_s_1"].fillna(-1).tolist() == exp["ts_delta_s_1"].fillna(-1).tolist()
+
+
+def test_rolling_rows_match_pandas(small_transcripts, small_transcripts_pdf):
+    df = small_transcripts.withColumn("text_len", F.length("text").cast("long"))
+    got = _sorted_pdf(with_rolling_rows(df, F.col("text_len"), k=5, out_prefix="chars").toPandas())
+    exp = _sorted_pdf(small_transcripts_pdf.copy())
+    exp["text_len"] = exp["text"].str.len()
+    r = exp.groupby("conv_id", sort=False)["text_len"].rolling(5, min_periods=1)
+    exp["chars_sum_5"] = r.sum().reset_index(level=0, drop=True)
+    exp["chars_avg_5"] = r.mean().reset_index(level=0, drop=True)
+    assert got["chars_sum_5"].tolist() == exp["chars_sum_5"].astype("int64").tolist()
+    assert (got["chars_avg_5"] - exp["chars_avg_5"]).abs().max() < 1e-9
+
+
+def test_backfill_matches_pandas(small_transcripts, small_transcripts_pdf):
+    got = _sorted_pdf(backfill(small_transcripts, "tool").toPandas())
+    exp = _sorted_pdf(small_transcripts_pdf.copy())
+    exp["tool_ffill"] = exp.groupby("conv_id", sort=False)["tool"].ffill()
+    assert got["tool_ffill"].fillna("∅").tolist() == exp["tool_ffill"].fillna("∅").tolist()
+
+
+def test_rank_dedup_keeps_exactly_one(spark):
+    rows = [
+        ("c1", 1, "2024-01-01 00:00:00", "a"),
+        ("c1", 1, "2024-01-01 00:00:05", "b"),
+        ("c1", 2, "2024-01-01 00:01:00", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts", "text"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    first = rank_dedup(df, ["conv_id", "turn_idx"], [F.col("ts"), F.col("text")], keep="first")
+    last = rank_dedup(df, ["conv_id", "turn_idx"], [F.col("ts"), F.col("text")], keep="last")
+    assert first.count() == 2 and last.count() == 2
+    assert first.filter("turn_idx = 1").collect()[0].text == "a"
+    assert last.filter("turn_idx = 1").collect()[0].text == "b"
+
+
+def test_top_k_per_group(small_transcripts):
+    got = top_k_per_group(small_transcripts, ["conv_id"], [F.col("ts"), F.col("turn_idx")], k=3)
+    counts = got.groupBy("conv_id").count().toPandas()
+    assert (counts["count"] <= 3).all()
+
+
+def test_lag_never_reads_future(small_transcripts):
+    """Zero-temporal-leakage: lag feature timestamps are all <= current ts."""
+    df = with_lag_features(small_transcripts).withColumn(
+        "prev_ts", F.col("ts").cast("long") - F.col("ts_delta_s_1")
+    )
+    bad = df.filter(F.col("prev_ts") > F.col("ts").cast("long")).count()
+    assert bad == 0
