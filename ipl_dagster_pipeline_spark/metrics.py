@@ -1,0 +1,85 @@
+"""Per-stage lineage + row-count/checksum metrics (north rule; SURVEY §2.2 K6).
+
+Reference precedent: every publish emits ``num_rows`` output metadata
+(postgis_geopandas_io_manager.py:103,260) and dedup deltas are warned
+(lamassu.py:306-311).  Here every stage can emit:
+
+* a zero-cost ``df.observe`` row-count/checksum (collected on action), and
+* a per-PARTITION lineage frame (partition_id, row_count, checksum) computed
+  with map-side partial aggregation (spark_partition_id groupBy — the shuffle
+  moves only one row per partition), appended to a parquet ``_lineage`` table.
+
+Checksums are order-insensitive (sum of per-row crc32) so they are stable
+under any partitioning/parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def _row_checksum(df: DataFrame) -> F.Column:
+    """Order-insensitive row checksum: crc32 of the canonical JSON of all
+    columns.  Summed per group → insensitive to row order and partitioning."""
+    return F.crc32(F.to_json(F.struct(*[F.col(c) for c in df.columns])).cast("binary"))
+
+
+def observe_stage(df: DataFrame, stage: str) -> tuple[DataFrame, Observation]:
+    """Attach a named observation: rows + checksum, evaluated for free with
+    whatever action executes the plan.  Usage:
+
+        df, obs = observe_stage(df, 'convert')
+        df.write...   # any action
+        obs.get  # {'rows': ..., 'checksum': ...}
+    """
+    obs = Observation(stage)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"), F.sum(_row_checksum(df)).alias("checksum")), obs
+
+
+def partition_lineage(df: DataFrame, stage: str, snapshot_id: int = 0) -> DataFrame:
+    """Per-partition (row_count, checksum) lineage frame for ``df`` as it is
+    currently partitioned.  Partial-aggregates map-side; one output row per
+    input partition.  ``snapshot_id`` ties the lineage rows to one committed
+    snapshot so reconciliation never mixes recomputed runs."""
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("row_count"), F.sum(_row_checksum(df)).alias("checksum"))
+        .select(
+            F.lit(stage).alias("stage"),
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            F.col("__pid").alias("partition_id"),
+            "row_count",
+            "checksum",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+
+
+def append_lineage(lineage: DataFrame, lineage_path: str) -> None:
+    """Append lineage rows to the parquet ``_lineage`` table (the engine's
+    metrics sink; an Iceberg metadata table in production)."""
+    lineage.write.mode("append").parquet(lineage_path)
+
+
+def total_from_lineage(
+    spark, lineage_path: str, stage: str, snapshot_id: int | None = None
+) -> tuple[int, int]:
+    """Reconcile a stage from its lineage rows: (total rows, total checksum).
+
+    Only the requested snapshot is summed (default: the stage's LATEST
+    snapshot) — summing all history would double-count recomputed stages.
+    """
+    lin = spark.read.parquet(lineage_path).filter(F.col("stage") == stage)
+    if snapshot_id is None:
+        latest = lin.agg(F.max("snapshot_id")).collect()[0][0]
+        if latest is None:
+            return 0, 0
+        snapshot_id = latest
+    row = (
+        lin.filter(F.col("snapshot_id") == snapshot_id)
+        .agg(F.sum("row_count").alias("r"), F.sum("checksum").alias("c"))
+        .collect()[0]
+    )
+    return int(row["r"] or 0), int(row["c"] or 0)

@@ -1,0 +1,110 @@
+"""Explicit partitioning + skew handling (SURVEY §4 "physical strategies").
+
+Spark's AQE handles post-shuffle skew splitting; these helpers add the two
+things AQE cannot do:
+
+* **hot-key detection** before an aggregation/window (sampled count — the
+  plan-time analog of AQE's runtime stats), and
+* **salted two-phase aggregation** for hot keys: partial aggregate per
+  (key, salt), then final merge — the classic map-side-combine rewrite.
+
+Windows/sessionization over conv_id cannot be salted (they need the whole
+conversation in order); for those, skew is bounded because conversations are
+bounded, and `repartition_sorted` gives the range-partitioned sort the as-of
+big-side path wants (north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def configure_aqe(spark, advisory_partition_mb: int = 64) -> None:
+    """Turn on every AQE knob the engine relies on (idempotent)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory_partition_mb * 1024 * 1024)
+    )
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str = "conv_id",
+    sample_fraction: float = 0.01,
+    hot_multiplier: float = 20.0,
+    max_keys: int = 1000,
+) -> list:
+    """Sample-count keys and return those ``hot_multiplier``× above the mean.
+
+    One cheap job over a sample (seeded — deterministic); returns at most
+    ``max_keys`` key values for broadcast into `salt_hot_keys`.
+    """
+    sampled = df.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else df
+    counts = sampled.groupBy(key).count()
+    stats = counts.agg(F.avg("count").alias("mean")).collect()[0]
+    if stats["mean"] is None:
+        return []
+    cutoff = stats["mean"] * hot_multiplier
+    rows = counts.filter(F.col("count") > cutoff).orderBy(F.col("count").desc()).limit(max_keys).collect()
+    return [r[0] for r in rows]
+
+
+def with_salt(
+    df: DataFrame,
+    key: str = "conv_id",
+    n_salts: int = 16,
+    hot_keys: list | None = None,
+    salt_source: str = "turn_idx",
+) -> DataFrame:
+    """Add a ``salt`` column: 0 for normal keys, hash(salt_source) % n for hot
+    keys — spreading each hot key over ``n_salts`` reducers."""
+    if not hot_keys:
+        return df.withColumn("salt", F.lit(0))
+    is_hot = F.col(key).isin(list(hot_keys))
+    return df.withColumn(
+        "salt",
+        F.when(is_hot, F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    merges: dict[str, Column],
+    n_salts: int = 16,
+    hot_keys: list | None = None,
+    salt_source: str = "turn_idx",
+) -> DataFrame:
+    """Two-phase aggregation with explicit salting of hot keys.
+
+    ``aggs``   — partial aggregate exprs, keyed by output name, e.g.
+                 {'cnt': F.count('*'), 'total': F.sum('x')}
+    ``merges`` — final merge exprs over the partial columns, e.g.
+                 {'cnt': F.sum('cnt'), 'total': F.sum('total')}
+
+    Phase 1 groups by (key, salt) — hot keys fan out over n_salts reducers;
+    phase 2 merges the ≤ n_salts partials per key (tiny).
+    """
+    salted = with_salt(df, key=key, n_salts=n_salts, hot_keys=hot_keys, salt_source=salt_source)
+    partial = salted.groupBy(key, "salt").agg(*[e.alias(n) for n, e in aggs.items()])
+    return partial.groupBy(key).agg(*[e.alias(n) for n, e in merges.items()])
+
+
+def repartition_sorted(
+    df: DataFrame,
+    n_partitions: int | None = None,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Range-partition by key and sort within partitions by (key, *order) —
+    the physical layout the sort-merge as-of path and write-ordered parquet
+    files want (north rule; SURVEY §2.7 O2)."""
+    parts = [F.col(key)]
+    rp = df.repartitionByRange(n_partitions, *parts) if n_partitions else df.repartitionByRange(*parts)
+    return rp.sortWithinPartitions(key, *order)

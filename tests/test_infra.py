@@ -1,0 +1,124 @@
+"""Partitioning/salting, lineage metrics, checkpoint resume, snapshot IO."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from ipl_dagster_pipeline_spark.checkpoint import CheckpointedPipeline
+from ipl_dagster_pipeline_spark.io import SnapshotTable, write_day_partitioned
+from ipl_dagster_pipeline_spark.metrics import (
+    append_lineage,
+    observe_stage,
+    partition_lineage,
+    total_from_lineage,
+)
+from ipl_dagster_pipeline_spark.partitioning import (
+    detect_hot_keys,
+    repartition_sorted,
+    salted_agg,
+    with_salt,
+)
+
+
+def test_detect_hot_keys_finds_planted_skew(spark):
+    from ipl_dagster_pipeline_spark.sources.transcripts import synthesize_transcripts
+
+    df = synthesize_transcripts(spark, n_convs=50, turns_per_conv=10, seed=3, hot_conv_fraction=0.02, hot_multiplier=100)
+    hot = detect_hot_keys(df, sample_fraction=1.0, hot_multiplier=5.0)
+    assert "c0" in hot
+
+
+def test_salted_agg_matches_plain_agg(small_transcripts):
+    hot = ["c0", "c1"]
+    got = (
+        salted_agg(
+            small_transcripts,
+            key="conv_id",
+            aggs={"cnt": F.count("*"), "chars": F.sum(F.length("text"))},
+            merges={"cnt": F.sum("cnt"), "chars": F.sum("chars")},
+            n_salts=8,
+            hot_keys=hot,
+        )
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    exp = (
+        small_transcripts.groupBy("conv_id")
+        .agg(F.count("*").alias("cnt"), F.sum(F.length("text")).alias("chars"))
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    assert got["chars"].tolist() == exp["chars"].tolist()
+
+
+def test_salt_spreads_hot_key(small_transcripts):
+    salted = with_salt(small_transcripts, hot_keys=["c0"], n_salts=8)
+    n_salts_hot = salted.filter("conv_id = 'c0'").select("salt").distinct().count()
+    n_salts_cold = salted.filter("conv_id = 'c5'").select("salt").distinct().count()
+    assert n_salts_hot > 1 and n_salts_cold == 1
+
+
+def test_lineage_reconciles_total(spark, small_transcripts, tmp_path):
+    path = str(tmp_path / "lineage")
+    df = repartition_sorted(small_transcripts, n_partitions=4)
+    append_lineage(partition_lineage(df, "stage_a"), path)
+    rows, checksum = total_from_lineage(spark, path, "stage_a")
+    assert rows == small_transcripts.count()
+    # checksum is order/partitioning-insensitive: recompute with different layout
+    append_lineage(partition_lineage(small_transcripts.repartition(7), "stage_b"), path)
+    rows_b, checksum_b = total_from_lineage(spark, path, "stage_b")
+    assert rows_b == rows and checksum_b == checksum
+
+
+def test_observe_stage_counts(small_transcripts):
+    df, obs = observe_stage(small_transcripts, "obs_test")
+    df.write.mode("overwrite").format("noop").save()
+    assert obs.get["rows"] == small_transcripts.count()
+
+
+def test_snapshot_table_atomic_commit_and_incremental(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    s1 = tbl.commit(spark.range(10).toDF("id"))
+    s2 = tbl.commit(spark.range(10, 15).toDF("id"))
+    assert tbl.current_snapshot_id() == s2 == s1 + 1
+    assert tbl.read(spark).count() == 5
+    assert tbl.read(spark, snapshot_id=s1).count() == 10
+    assert tbl.read_incremental(spark, start_snapshot_id=s1).count() == 5
+
+
+def test_checkpoint_resume_skips_committed(spark, small_transcripts, tmp_path):
+    root = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return small_transcripts
+
+    pipe = CheckpointedPipeline(spark, root)
+    a = pipe.stage("convert", compute)
+    assert calls["n"] == 1 and a.count() == small_transcripts.count()
+
+    # simulate restart: new pipeline object, same root → stage not recomputed
+    pipe2 = CheckpointedPipeline(spark, root)
+    b = pipe2.stage("convert", compute)
+    assert calls["n"] == 1 and b.count() == small_transcripts.count()
+    assert pipe2.completed_stages() == ["convert"]
+    # lineage was appended exactly once
+    rows, _ = total_from_lineage(spark, pipe2.lineage_path, "convert")
+    assert rows == small_transcripts.count()
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, small_transcripts, tmp_path):
+    path = str(tmp_path / "days")
+    write_day_partitioned(small_transcripts, path)
+    before = spark.read.parquet(path).count()
+    # rewrite only one day — other days must survive (dynamic overwrite)
+    one_day = small_transcripts.filter(F.to_date("ts") == F.lit("2024-01-01"))
+    assert one_day.count() > 0
+    write_day_partitioned(one_day, path)
+    after = spark.read.parquet(path).count()
+    assert after == before
+    assert len([d for d in os.listdir(path) if d.startswith("day=")]) > 1
