@@ -583,3 +583,294 @@ def oracle_sql() -> dict[str, str]:
         "map_lookup_classes": SQL_MAP_LOOKUP,
         "json_extract_props": SQL_JSON,
     }
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
+from ipl_dagster_pipeline_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash,
+)
+from ipl_dagster_pipeline_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_scores,
+    with_token_counts,
+)
+
+# shared CTE: normalized text + distinct 5-char shingles (mirrors
+# text_dedup.normalize_text / shingles exactly)
+SHINGLE_CTE = """
+norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, substring(norm, i, 5) AS s
+    FROM (SELECT doc_id, norm,
+                 unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+          FROM norm)
+)
+"""
+
+
+def _duck_hash(seed: int, expr: str) -> str:
+    """DuckDB text of text_dedup.portable_hash."""
+    return f"CAST(concat('0x', substring(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+
+
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_counts(docs).select("doc_id", "lang", "source", "n_ws_tokens", "n_bpe_tokens")
+
+
+SQL_DOC_TOKENS = r"""
+SELECT doc_id, lang, source,
+       CAST(length(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality_scores(docs).select(
+        "doc_id", "n_chars", "alpha_ratio", "punct_ratio", "mean_word_len", "stopword_ratio"
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(length(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1.0), 6) AS alpha_ratio,
+       round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / greatest(length(text), 1.0), 6) AS punct_ratio,
+       round(length(regexp_extract_all(text, '[A-Za-z]'))
+             / greatest(length(regexp_extract_all(text, '\S+')), 1.0), 6) AS mean_word_len,
+       round(length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b'))
+             / greatest(length(regexp_extract_all(text, '\S+')), 1.0), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return with_lang_id(docs).select(
+        "doc_id", "lang", "score_en", "score_de", "score_es", "score_fr", "score_zh", "lang_pred"
+    )
+
+
+SQL_DOC_LANG = r"""
+WITH s AS (
+    SELECT doc_id, lang,
+        CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b')) AS INTEGER) AS score_en,
+        CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|zu)\b')) AS INTEGER) AS score_de,
+        CAST(length(regexp_extract_all(lower(text), '\b(el|la|los|las|que|es|una|por|para)\b')) AS INTEGER) AS score_es,
+        CAST(length(regexp_extract_all(lower(text), '\b(le|les|des|est|une|dans|pour|sur|avec)\b')) AS INTEGER) AS score_fr,
+        CAST(length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS score_zh
+    FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'unknown'
+            WHEN score_zh = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'zh'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fp", "norm_len")
+
+
+SQL_DOC_FP = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+SQL_EXACT_DEDUP = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+_SIMHASH_BITS = ",\n        ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+)
+_SIMHASH_SIG = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+SQL_SIMHASH = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, t
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)
+),
+th AS (SELECT doc_id, {_duck_hash(99, 't')} AS th FROM tok),
+bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.5)
+
+
+_MH_MINS = ", ".join(f"min({_duck_hash(i, 's')}) AS h{i}" for i in range(8))
+_MH_BANDS = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {b} AS band, concat(CAST(h{2*b} AS VARCHAR), '_', CAST(h{2*b+1} AS VARCHAR)) AS bucket FROM mh"
+    for b in range(4)
+)
+SQL_MINHASH = f"""
+WITH {SHINGLE_CTE.strip()},
+mh AS (SELECT doc_id, {_MH_MINS} FROM sh GROUP BY doc_id),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE i.n_inter / (ca.n + cb.n - i.n_inter) >= 0.5
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, query_ids=list(range(10)), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+p AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+    FROM v q JOIN v c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+FROM p
+QUALIFY rnk <= 5
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH buckets + exact re-rank (rows-only check;
+    recall vs brute force is covered in tests/test_trainingdata.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_ids=list(range(10)), k=5)
+
+
+def q_asof_conv_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of union-fill path on the HIGH-cardinality key (conv_id)."""
+    from ipl_dagster_pipeline_spark.operators.asof import asof_join_union_fill
+
+    t = transcripts_from_events(spark, sf_dir)
+    d = conv_dim_from_events(spark, sf_dir)
+    out = asof_join_union_fill(t, d, key="conv_id", ts_col="ts", dim_ts="snapshot_ts")
+    return _ts_us(out, "ts", "matched_effective_from")
+
+
+SQL_ASOF_CONV = f"""WITH {TRANSCRIPTS_CTE.strip()}, {CONV_DIM_CTE.strip()}
+SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, epoch_us(t.ts) AS ts_us,
+       d.cohort, epoch_us(d.snapshot_ts) AS matched_effective_from_us
+FROM transcripts t
+ASOF LEFT JOIN conv_dim d
+  ON t.conv_id = d.conv_id AND t.ts >= d.snapshot_ts
+"""
+
+
+def q_top3_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ipl_dagster_pipeline_spark.operators.windows import top_k_per_group
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = top_k_per_group(t, ["conv_id"], [F.col("ts"), F.col("turn_idx")], k=3)
+    return _ts_us(out, "ts")
+
+
+SQL_TOP3 = f"""{WITH_T}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM transcripts
+QUALIFY row_number() OVER ({W_SQL}) <= 3
+"""
+
+
+_EXTRA_QUERIES = {
+    "doc_token_counts": q_doc_tokens,
+    "doc_quality_scores": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_exact_dedup": q_exact_dedup,
+    "doc_simhash": q_simhash,
+    "doc_minhash_lsh_pairs": q_minhash_pairs,
+    "emb_cosine_topk": q_cosine_topk,
+    "emb_lsh_topk": q_lsh_topk,
+    "asof_conv_dim_union_fill": q_asof_conv_dim,
+    "top3_turns_per_conv": q_top3_turns,
+}
+
+_EXTRA_ORACLES = {
+    "doc_token_counts": SQL_DOC_TOKENS,
+    "doc_quality_scores": SQL_DOC_QUALITY,
+    "doc_lang_id": SQL_DOC_LANG,
+    "doc_fingerprint": SQL_DOC_FP,
+    "doc_exact_dedup": SQL_EXACT_DEDUP,
+    "doc_simhash": SQL_SIMHASH,
+    "doc_minhash_lsh_pairs": SQL_MINHASH,
+    "emb_cosine_topk": SQL_COSINE_TOPK,
+    # emb_lsh_topk: intentionally no oracle (rows-only) — approximate op
+    "asof_conv_dim_union_fill": SQL_ASOF_CONV,
+    "top3_turns_per_conv": SQL_TOP3,
+}
+
+_BASE_QUERIES = queries
+_BASE_ORACLES = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES()
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES()
+    out.update(_EXTRA_ORACLES)
+    return out

@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct — the Spark
+analog of the reference's webcam image pipeline (FTP mirror → files →
+latest-per-camera probe, webcam_worker.py) where the pipeline never decodes
+pixels either; it moves bytes and tracks metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual codec step is STUBBED because no
+image/audio libraries exist in this container:
+
+* ``decode_media(..., fake=True)`` produces deterministic fake features from
+  the bytes (so tests are meaningful);
+* ``fake=False`` raises ``NotImplementedError`` at the first batch — plug in
+  PIL/torchaudio there in a real deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("captured_ts", T.TimestampType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table: payload = utf-8 bytes of the text
+    (stand-in for image bytes), typed meta struct."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("synthetic").alias("source"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("captured_ts"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = True, batch_note: str = "decode") -> DataFrame:
+    """Arrow-batched media decode via ``mapInPandas``.
+
+    The iterator-of-batches shape is the one a real codec needs (stream
+    batches, never materialize the partition); ``fake=True`` derives
+    deterministic pseudo-features from the payload bytes.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding needs an image/audio codec library; "
+                    "install PIL/torchaudio and replace this branch"
+                )
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
+            digest = payloads.map(
+                lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+            )
+            # deterministic fake dimensions from the first hash byte
+            h0 = digest.map(lambda d: int(d[:2], 16) if d else 0)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": (64 + (h0 % 64)).astype("int32"),
+                    "height": (64 + (h0 % 48)).astype("int32"),
+                    "duration_s": (n_bytes / 1000.0).astype("float64"),
+                    "content_hash": digest,
+                }
+            )
+            out.loc[pdf["media_type"] != "image", ["width", "height"]] = None
+            out.loc[pdf["media_type"] == "image", "duration_s"] = None
+            yield out
+
+    return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+def latest_media_per_source(media: DataFrame) -> DataFrame:
+    """A3 parity: latest media per (source, media_type) by captured_ts —
+    max_by, no self-join (reference: latest webcam image probe)."""
+    return media.groupBy(F.col("meta.source").alias("source"), "media_type").agg(
+        F.max_by("media_id", F.struct(F.col("meta.captured_ts"), F.col("media_id"))).alias(
+            "latest_media_id"
+        ),
+        F.count("*").alias("n_items"),
+    )

@@ -1,0 +1,186 @@
+"""Document deduplication for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Everything is built from JVM-side built-ins (md5/conv/substring/explode/
+groupBy) — no Python in the hot path — and every hash is the PORTABLE
+md5-prefix construction below, reproducible bit-for-bit in any engine (the
+DuckDB oracles in __spark_entry__ recompute identical values).
+
+Scale notes (100 TB honesty):
+* shingling explodes ~|text| rows per doc — the distinct() and min-agg are
+  partial-aggregated map-side before the shuffle, so the shuffle carries one
+  row per (doc, shingle) / (doc) respectively;
+* LSH band buckets are the join key — the candidate join is an equi shuffle
+  join on bucket, never a cross join;
+* giant buckets (degenerate text) should be capped — `lsh_candidates` drops
+  buckets above ``max_bucket`` with a logged count (A4-style silent-cap
+  warning, reference lamassu.py:306-311).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 → LSH threshold ≈ (1/4)^(1/2) ≈ 0.5 Jaccard
+
+
+def portable_hash(col: Column, seed: int) -> Column:
+    """60-bit deterministic hash identical across engines:
+    int(md5(seed ':' value)[:15], 16).  (xxhash64 stays engine-internal.)"""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, whitespace collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text (F-series parity:
+    deterministic content hash; reference uses file mtime/content identity)."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: one keeper (min id) per fingerprint."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct character k-shingles per document (1-based positions, so the
+    construction is reproducible in ANSI SQL)."""
+    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
+    return (
+        norm.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1)))).alias("i"),
+            "norm",
+        )
+        .select(id_col, F.expr(f"substring(norm, i, {k})").alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of each portable hash.
+    One map-side-combined aggregation; signature is n_hashes columns."""
+    return sh.groupBy(id_col).agg(
+        *[F.min(portable_hash(F.col("s"), i)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = N_HASHES // N_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Buckets larger than ``max_bucket`` are dropped (logged) — a degenerate
+    bucket of B docs would emit B² pairs.
+    """
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        one = sig.select(F.col(id_col), F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bucket"))
+        bands = one if bands is None else bands.unionByName(one)
+
+    sizes = bands.groupBy("band", "bucket").count()
+    dropped = sizes.filter(F.col("count") > max_bucket)
+    n_dropped = dropped.count()
+    if n_dropped:
+        print(f"WARNING lsh_candidates: dropped {n_dropped} oversized buckets (> {max_bucket} docs)")
+    bands = bands.join(dropped.select("band", "bucket"), ["band", "bucket"], "left_anti")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|).
+    Joins are equi-joins on (doc, shingle); candidate set keeps them sparse."""
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    return (
+        _jaccard(cand, sh, counts, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _jaccard(cand: DataFrame, sh: DataFrame, counts: DataFrame, id_col: str) -> DataFrame:
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("s"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("s"))
+    inter = (
+        cand.join(sh_a, "doc_a").join(sh_b, ["doc_b", "s"]).groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_inter")
+        )
+    )
+    n_a = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    n_b = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(n_a, "doc_a")
+        .join(n_b, "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
+    Jaccard verification of candidates → pairs ≥ threshold."""
+    sh = shingles(docs, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidates(sig, id_col)
+    return jaccard_pairs(cand, sh, id_col, threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over distinct word tokens: bit b of the signature is
+    the sign of sum(±1) of token-hash bit b."""
+    tokens = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))).alias("t"),
+        )
+        .distinct()
+        .withColumn("th", portable_hash(F.col("t"), 99))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.cast("long").alias("simhash"))
