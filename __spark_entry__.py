@@ -144,8 +144,8 @@ SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,
        CAST(sum(CAST(length(text) AS BIGINT)) OVER wr AS BIGINT) AS chars_rsum_3600s,
        count(CAST(length(text) AS BIGINT)) OVER wr AS chars_rcnt_3600s
 FROM transcripts
-WINDOW wr AS (PARTITION BY conv_id ORDER BY {SECS}
-              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW wr AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -317,8 +317,8 @@ SELECT conv_id, turn_idx, role, text, tool, tool_category, cost_weight, text_len
            AS session_id
 FROM g
 WINDOW w5 AS ({W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-       wr AS (PARTITION BY conv_id ORDER BY {SECS}
-              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       wr AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -29,7 +29,7 @@ def sessionize(df: DataFrame, gap_seconds: int = 1800, key: str = "conv_id") -> 
     w = turn_window(key)
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy(key).orderBy("ts", "turn_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = turn_window(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)  # shares the chain sort
     return df.withColumn("__new", new_sess).withColumn(
         "session_id", F.sum("__new").over(cum).cast("int")
     ).drop("__new")

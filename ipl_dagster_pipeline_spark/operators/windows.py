@@ -22,7 +22,14 @@ ORDER = ("ts", "turn_idx")
 
 
 def turn_window(key: str = KEY) -> WindowSpec:
-    """The canonical per-conversation window with stable tie-breaking."""
+    """The canonical per-conversation window with stable tie-breaking.
+
+    Orders by the RAW (ts, turn_idx) columns — never computed expressions:
+    expression order keys get projected to fresh attributes per window, which
+    defeats Catalyst's sort sharing and plans one Sort per Window.  With raw
+    columns the whole chain (lag, rolling rows, rolling range via interval
+    frame, backfill, sessionize) shares ONE sort after one conv_id shuffle.
+    """
     return Window.partitionBy(key).orderBy(*ORDER)
 
 
@@ -88,13 +95,21 @@ def with_rolling_range(
     (W4, range frame).  Range frames need a single numeric sort key, so we
     order by epoch seconds; ties on ts collapse into the same range position
     which is the correct time-window semantics."""
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-seconds, 0)
+    # INTERVAL range frame ordered by the RAW ts column: required ordering
+    # [ts] is a satisfied prefix of the shared chain sort [ts, turn_idx], so
+    # this window adds NO extra sort (exact micros semantics, inclusive ends).
+    # The Python rangeBetween API only takes longs, so spell it in window SQL.
+    value_sql = value._jc.toString() if hasattr(value, "_jc") else str(value)
+    over = (
+        f"OVER (PARTITION BY {key} ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL {seconds} SECONDS PRECEDING AND CURRENT ROW)"
     )
-    return df.withColumn(f"{out_prefix}_rsum_{seconds}s", F.sum(value).over(w)).withColumn(
-        f"{out_prefix}_rcnt_{seconds}s", F.count(value).over(w)
+    # single select so both aggregates land in ONE physical Window node
+    # (chained withColumn produced two Window+Sort pairs over the same key)
+    return df.select(
+        "*",
+        F.expr(f"sum({value_sql}) {over}").alias(f"{out_prefix}_rsum_{seconds}s"),
+        F.expr(f"count({value_sql}) {over}").alias(f"{out_prefix}_rcnt_{seconds}s"),
     )
 
 

@@ -37,6 +37,11 @@ def build_turn_features(
         # tool has ~5 distinct values → interval-broadcast path (skew-free),
         # not the window path (which would partition by tool).
         df = asof_join_broadcast_range(df, tool_dim, key="tool", ts_col="ts")
+    # window chain order matters physically: the rows-frame windows require
+    # [conv_id, ts, turn_idx]; the interval range window requires only the
+    # prefix [conv_id, ts].  Running a rows-frame window FIRST establishes the
+    # full ordering, so every later window (incl. the range frame) plans with
+    # NO additional sort — one shuffle + one sort for the whole chain.
     df = with_lag_features(df)
     df = with_rolling_rows(df, F.col("text_len"), k=rolling_rows, out_prefix="chars")
     df = with_rolling_range(df, F.col("text_len"), seconds=rolling_seconds, out_prefix="chars")
