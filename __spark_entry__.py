@@ -874,3 +874,229 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES()
     out.update(_EXTRA_ORACLES)
     return out
+
+
+# ---------------------------------------------------------------------------
+# batch 3: salting equivalence, latest-per-key, scalar functions, batch windows
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.functions.scalars import concat_trim
+from ipl_dagster_pipeline_spark.partitioning import salted_agg
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation — the oracle is the plain GROUP BY, so the
+    driver gate itself proves salting preserves semantics (SURVEY §4 skew)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return salted_agg(
+        t,
+        key="conv_id",
+        aggs={"n_turns": F.count("*"), "total_chars": F.sum(F.length("text"))},
+        merges={"n_turns": F.sum("n_turns"), "total_chars": F.sum("total_chars")},
+        n_salts=8,
+        hot_keys=["c1", "c2", "c3"],
+    )
+
+
+SQL_SALTED = f"""{WITH_T}
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM transcripts
+GROUP BY conv_id
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: latest record per key via deterministic rank (keep-last dedup)."""
+    ev = _read(spark, sf_dir, "events")
+    out = rank_dedup(ev, ["user_id"], [F.col("ts"), F.col("event_id")], keep="last")
+    return _ts_us(out.select("user_id", "event_id", "event_type", "ts"), "ts")
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_distinct_group_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct-group count + single-group detection (reference picks a
+    default vehicle type when only one form factor exists, lamassu.py:129-135)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types"),
+        (F.count_distinct("event_type") == 1).alias("single_type"),
+        F.min("event_type").alias("first_type"),
+    )
+
+
+SQL_DISTINCT_PROBE = """
+SELECT user_id,
+       count(DISTINCT event_type) AS n_types,
+       count(DISTINCT event_type) = 1 AS single_type,
+       min(event_type) AS first_type
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/U-explode: nested array normalize — word frequencies over documents."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_WORDS = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY word
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4/F5/F7 scalar parity: concat+trim, rlike, regexp_replace, contains."""
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        concat_trim(F.col("c_name"), F.col("c_mktsegment")).alias("display_name"),
+        F.col("c_name").rlike("^Customer#0*1").alias("is_first_block"),
+        F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("name_shape"),
+        F.col("c_mktsegment").contains("MACH").alias("is_machinery"),
+    )
+
+
+SQL_SCALARS = """
+SELECT c_custkey,
+       trim(concat_ws(' ', c_name, c_mktsegment)) AS display_name,
+       regexp_matches(c_name, '^Customer#0*1') AS is_first_block,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_shape,
+       contains(c_mktsegment, 'MACH') AS is_machinery
+FROM customer
+"""
+
+
+def q_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window (F.window) — per-hour per-type event stats."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total_value")
+    )
+    return _ts_us(out, "hour_start")
+
+
+SQL_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join aggregate (bench headline)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top revenue among unshipped orders."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    out = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return _ts_us(out, "o_orderdate")
+
+
+SQL_SHIPPING = """
+SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+_B3_QUERIES = {
+    "salted_agg_by_conv": q_salted_agg,
+    "latest_event_per_user": q_latest_event_per_user,
+    "distinct_group_probe": q_distinct_group_probe,
+    "word_counts": q_word_counts,
+    "scalar_functions": q_scalar_functions,
+    "hourly_tumbling": q_hourly_tumbling,
+    "q5_revenue_by_nation": q_revenue_by_nation,
+    "q3_shipping_priority": q_shipping_priority,
+}
+
+_B3_ORACLES = {
+    "salted_agg_by_conv": SQL_SALTED,
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "distinct_group_probe": SQL_DISTINCT_PROBE,
+    "word_counts": SQL_WORDS,
+    "scalar_functions": SQL_SCALARS,
+    "hourly_tumbling": SQL_HOURLY,
+    "q5_revenue_by_nation": SQL_REVENUE,
+    "q3_shipping_priority": SQL_SHIPPING,
+}
+
+_B2_QUERIES_FN = queries
+_B2_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B2_QUERIES_FN()
+    out.update(_B3_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B2_ORACLES_FN()
+    out.update(_B3_ORACLES)
+    return out

@@ -1,0 +1,55 @@
+"""Flagship plans: simple vs fused-rich equivalence + physical-plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from ipl_dagster_pipeline_spark.plans.features import (
+    build_rich_turn_features,
+    build_turn_features,
+)
+
+
+def _node_counts(spark, df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    out: dict[str, int] = {}
+    for line in plan.splitlines():
+        m = re.match(r"^\s*\(\d+\)\s+(\w+)", line)
+        if m:
+            out[m.group(1)] = out.get(m.group(1), 0) + 1
+    return out
+
+
+def test_rich_build_matches_simple_on_shared_columns(spark, small_transcripts, small_tool_dim):
+    shared = ["conv_id", "turn_idx", "session_id", "chars_sum_5", "tool_ffill",
+              "chars_rsum_3600s", "prev_role_1", "ts_delta_s_1", "cost_weight"]
+    a = build_turn_features(small_transcripts, small_tool_dim).select(shared)
+    b = build_rich_turn_features(small_transcripts, small_tool_dim).select(shared)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_flagship_plan_shape(spark, small_transcripts, small_tool_dim, tmp_path):
+    """Scale contract: over parquet sources (the production shape) the whole
+    feature chain costs ONE fact-side exchange and ONE fact-side sort (plus
+    the tiny dim-side pair). A regression here means a new window spec broke
+    sort sharing — catch it in CI, not on a cluster."""
+    tdir, ddir = str(tmp_path / "t"), str(tmp_path / "d")
+    small_transcripts.write.parquet(tdir)
+    small_tool_dim.write.parquet(ddir)
+    t = spark.read.parquet(tdir)
+    d = spark.read.parquet(ddir)
+    for builder, max_windows in ((build_turn_features, 8), (build_rich_turn_features, 5)):
+        counts = _node_counts(spark, builder(t, d))
+        assert counts.get("Exchange", 0) <= 2, counts  # 1 dim + 1 fact
+        assert counts.get("Sort", 0) <= 2, counts  # 1 dim + 1 fact
+        assert counts.get("Window", 0) <= max_windows, counts
+
+
+def test_rich_build_pit_safety(spark, small_transcripts, small_tool_dim):
+    out = build_rich_turn_features(small_transcripts, small_tool_dim)
+    leaks = out.filter(F.col("matched_effective_from") > F.col("ts")).count()
+    assert leaks == 0
