@@ -735,14 +735,24 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, threshold=0.5)
 
 
-_MH_MINS = ", ".join(f"min({_duck_hash(i, 's')}) AS h{i}" for i in range(8))
+from ipl_dagster_pipeline_spark.operators.text_dedup import MINHASH_P, minhash_params
+
+# one md5 base per shingle + affine mixes — EXACTLY text_dedup.minhash_signatures
+_MH_BASE = "(CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {p})".format(p=MINHASH_P)
+_MH_MINS = ", ".join(
+    "min((base * {a} + {b}) % {p}) AS h{i}".format(a=minhash_params(i)[0], b=minhash_params(i)[1], p=MINHASH_P, i=i)
+    for i in range(16)
+)
 _MH_BANDS = "\n    UNION ALL\n    ".join(
-    f"SELECT doc_id, {b} AS band, concat(CAST(h{2*b} AS VARCHAR), '_', CAST(h{2*b+1} AS VARCHAR)) AS bucket FROM mh"
+    "SELECT doc_id, {b} AS band, concat({cols}) AS bucket FROM mh".format(
+        b=b, cols=", '_', ".join(f"CAST(h{4*b + r} AS VARCHAR)" for r in range(4))
+    )
     for b in range(4)
 )
 SQL_MINHASH = f"""
 WITH {SHINGLE_CTE.strip()},
-mh AS (SELECT doc_id, {_MH_MINS} FROM sh GROUP BY doc_id),
+mhb AS (SELECT doc_id, {_MH_BASE} AS base FROM sh),
+mh AS (SELECT doc_id, {_MH_MINS} FROM mhb GROUP BY doc_id),
 bands AS (
     {_MH_BANDS}
 ),
@@ -1099,4 +1109,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B2_ORACLES_FN()
     out.update(_B3_ORACLES)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch 4: multimodal plumbing queries
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.multimodal import (
+    decode_media,
+    latest_media_per_source,
+    synthesize_media,
+)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas media decode (fake codec) — rows-only check; the
+    deterministic fake features are covered by tests/test_trainingdata.py."""
+    docs = _read(spark, sf_dir, "documents")
+    return decode_media(synthesize_media(docs), fake=True)
+
+
+def q_media_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 parity: latest media per (source, media_type) via max_by."""
+    docs = _read(spark, sf_dir, "documents")
+    return latest_media_per_source(synthesize_media(docs))
+
+
+# synthesize_media maps media_type = ['image','audio','video'][doc_id % 3] with a
+# constant source/captured_ts, so latest == max media_id per type (tie-break by id)
+SQL_MEDIA_LATEST = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type
+    FROM documents
+)
+SELECT 'synthetic' AS source, media_type,
+       max(media_id) AS latest_media_id, count(*) AS n_items
+FROM m
+GROUP BY media_type
+"""
+
+_B4_QUERIES = {"media_decode_features": q_media_features, "media_latest_per_source": q_media_latest}
+_B4_ORACLES = {"media_latest_per_source": SQL_MEDIA_LATEST}
+
+_B3_QUERIES_FN = queries
+_B3_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B3_QUERIES_FN()
+    out.update(_B4_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B3_ORACLES_FN()
+    out.update(_B4_ORACLES)
     return out

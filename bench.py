@@ -29,8 +29,12 @@ HEADLINE = [
     "asof_cogrouped",
     "rolling_range",
     "session_aggregates",
+    "salted_agg_by_conv",
     "q1_pricing_summary",
+    "q5_revenue_by_nation",
     "broadcast_enrich",
+    "doc_minhash_lsh_pairs",
+    "emb_cosine_topk",
 ]
 
 

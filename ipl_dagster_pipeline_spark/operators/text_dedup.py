@@ -22,8 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_HASHES = 8
-N_BANDS = 4  # bands of 2 → LSH threshold ≈ (1/4)^(1/2) ≈ 0.5 Jaccard
+# 16 hashes in 4 bands of 4 → LSH collision threshold ≈ (1/4)^(1/4) ≈ 0.71
+# Jaccard.  Bands of 2 are far too permissive on narrow-vocabulary corpora:
+# every doc shares min-shingles with every other and candidate pairs go
+# quadratic (observed: 5k docs → 1.1M candidates).  Rows-per-band is the
+# precision knob — at 100 TB use 128 hashes (16×8) and a higher threshold.
+N_HASHES = 16
+N_BANDS = 4
 
 
 def portable_hash(col: Column, seed: int) -> Column:
@@ -32,6 +37,24 @@ def portable_hash(col: Column, seed: int) -> Column:
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
     ).cast("long")
+
+
+# universal-hash family over one md5 base: h_i(s) = (base(s)*A_i + B_i) mod P.
+# ONE md5 per shingle instead of n_hashes md5s — at 100 TB the hash work
+# dominates minhash, so this is ~n_hashes× cheaper.  P < 2^30 keeps every
+# intermediate product < 2^61: exact in BIGINT on any engine, no overflow.
+MINHASH_P = 1073741789
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic (A_i, B_i) for hash i — shared with the SQL oracles."""
+    a = (i * 2654435761 + 1) % MINHASH_P
+    b = (i * 40503 + 17) % MINHASH_P
+    return (a or 1, b)
+
+
+def _hash_base(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
 
 
 def normalize_text(col: Column) -> Column:
@@ -70,11 +93,15 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of each portable hash.
-    One map-side-combined aggregation; signature is n_hashes columns."""
-    return sh.groupBy(id_col).agg(
-        *[F.min(portable_hash(F.col("s"), i)).alias(f"h{i}") for i in range(n_hashes)]
-    )
+    """Per-doc MinHash signature: min over shingles of each universal hash.
+    One md5 per shingle + cheap affine mixes; one map-side-combined
+    aggregation; signature is n_hashes columns."""
+    based = sh.withColumn("__base", _hash_base(F.col("s")))
+    mins = []
+    for i in range(n_hashes):
+        a, b = minhash_params(i)
+        mins.append(F.min((F.col("__base") * a + b) % MINHASH_P).alias(f"h{i}"))
+    return based.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidates(
