@@ -87,11 +87,26 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, f"{snap_id:012d}.json")) as fh:
             return json.load(fh)
 
+    def _state_dirs(self, snap_id: int) -> list[str]:
+        """Data dirs composing the table state AT ``snap_id``: walk the parent
+        chain back through append snapshots to the last overwrite."""
+        dirs: list[str] = []
+        cur: int | None = snap_id
+        while cur is not None:
+            m = self._manifest(cur)
+            dirs.append(m["data_dir"])
+            if m.get("mode", "overwrite") != "append":
+                break
+            cur = m.get("parent")
+        return list(reversed(dirs))
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Table state at a snapshot: the last overwrite plus all appends
+        since (Iceberg-like append chains)."""
         snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if snap is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
-        return spark.read.parquet(self._manifest(snap)["data_dir"])
+        return spark.read.parquet(*self._state_dirs(snap))
 
     def read_incremental(self, spark: SparkSession, start_snapshot_id: int) -> DataFrame:
         """Rows appended strictly after ``start_snapshot_id`` (append mode

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): random transcript shapes vs the pandas
+oracle for the ordering-sensitive operators (SURVEY §5: ties on ts, gaps at
+threshold, leading nulls, dim snapshots newer than events)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+GAP = 600
+
+
+@st.composite
+def transcript_rows(draw):
+    n_convs = draw(st.integers(1, 4))
+    rows = []
+    for c in range(n_convs):
+        n = draw(st.integers(1, 12))
+        t = 0
+        for i in range(1, n + 1):
+            # gaps: 0 (ties), exactly GAP (boundary), > GAP (new session)
+            t += draw(st.sampled_from([0, 1, GAP, GAP + 1, 5000]))
+            tool = draw(st.sampled_from([None, "search", "code"]))
+            rows.append((f"c{c}", i, "user" if i % 2 else "assistant", f"m{c}-{i}", tool, t))
+    return rows
+
+
+def _spark_df(spark, rows):
+    df = spark.createDataFrame(
+        [(c, i, r, x, tl, (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)).to_pydatetime()) for c, i, r, x, tl, s in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    return df
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=transcript_rows())
+def test_sessionize_property(spark, rows):
+    from ipl_dagster_pipeline_spark.operators.sessionize import sessionize
+
+    got = (
+        sessionize(_spark_df(spark, rows), gap_seconds=GAP)
+        .orderBy("conv_id", "ts", "turn_idx")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "s"])
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["s"], unit="s")
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    delta = pdf.groupby("conv_id", sort=False)["ts"].diff().dt.total_seconds()
+    exp = (delta.isna() | (delta > GAP)).groupby(pdf["conv_id"], sort=False).cumsum().astype(int)
+    assert got["session_id"].tolist() == exp.tolist()
+    assert got["text"].tolist() == pdf["text"].tolist()  # stable-order text equality
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=transcript_rows(), dim_offsets=st.lists(st.integers(-3600, 90000), min_size=1, max_size=6))
+def test_asof_property(spark, rows, dim_offsets):
+    """Every matched snapshot is the latest one ≤ ts; snapshots strictly in the
+    future are never matched (zero leakage), regardless of shapes."""
+    from ipl_dagster_pipeline_spark.operators.asof import asof_join_broadcast_range
+
+    facts = _spark_df(spark, rows)
+    dim = spark.createDataFrame(
+        [
+            ("search", (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=o)).to_pydatetime(), float(i))
+            for i, o in enumerate(sorted(set(dim_offsets)))
+        ],
+        "tool string, effective_from timestamp, w double",
+    )
+    out = asof_join_broadcast_range(facts, dim, key="tool").toPandas()
+    assert (out["matched_effective_from"].dropna() <= out.loc[out["matched_effective_from"].notna(), "ts"]).all()
+    # oracle: pandas merge_asof per tool
+    f = out.sort_values("ts", kind="mergesort")
+    d = dim.toPandas().sort_values("effective_from", kind="mergesort")
+    exp = pd.merge_asof(
+        f[["conv_id", "turn_idx", "tool", "ts"]].sort_values("ts", kind="mergesort"),
+        d.rename(columns={"effective_from": "mef"}),
+        left_on="ts",
+        right_on="mef",
+        by="tool",
+        direction="backward",
+    )
+    got_map = {(r.conv_id, r.turn_idx): r.w for r in out.itertuples()}
+    for r in exp.itertuples():
+        g = got_map[(r.conv_id, r.turn_idx)]
+        assert (pd.isna(g) and pd.isna(r.w)) or g == r.w
