@@ -1169,3 +1169,113 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B3_ORACLES_FN()
     out.update(_B4_ORACLES)
     return out
+
+
+# ---------------------------------------------------------------------------
+# batch 5: pinned-snapshot as-of, epoch parsing, embedding near-dup pairs
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.functions.scalars import epoch_seconds_to_utc_ts
+from ipl_dagster_pipeline_spark.operators.asof import asof_snapshot_broadcast
+from ipl_dagster_pipeline_spark.operators.similarity import _as_double, cosine
+
+AS_OF_PIN = "2024-01-15 00:00:00"
+
+
+def q_asof_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of strategy 4: pin the dim to its latest snapshot <= a fixed as_of,
+    broadcast equi-join (single-timestamp feature builds)."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = tool_dim_from_events(spark, sf_dir)
+    out = asof_snapshot_broadcast(t, d, key="tool", as_of=AS_OF_PIN)
+    return _ts_us(out, "ts", "matched_effective_from")
+
+
+SQL_ASOF_PINNED = f"""{WITH_TD},
+pinned AS (
+    SELECT tool, effective_from AS matched_effective_from, tool_category, cost_weight
+    FROM tool_dim
+    WHERE effective_from <= TIMESTAMP '{AS_OF_PIN}'
+    QUALIFY row_number() OVER (PARTITION BY tool ORDER BY effective_from DESC) = 1
+)
+SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, epoch_us(t.ts) AS ts_us,
+       p.tool_category, p.cost_weight,
+       epoch_us(p.matched_effective_from) AS matched_effective_from_us
+FROM transcripts t
+LEFT JOIN pinned p ON t.tool = p.tool
+"""
+
+
+def q_epoch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: epoch-seconds -> UTC timestamp with bad input -> null."""
+    ev = _read(spark, sf_dir, "events")
+    secs = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    out = ev.select(
+        "event_id",
+        secs.alias("epoch_s"),
+        epoch_seconds_to_utc_ts(secs).alias("parsed_ts"),
+        epoch_seconds_to_utc_ts(F.lit(None).cast("long")).alias("bad_ts"),
+    )
+    return _ts_us(out, "parsed_ts", "bad_ts")
+
+
+SQL_EPOCH = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000000 AS parsed_ts_us,
+       CAST(NULL AS BIGINT) AS bad_ts_us
+FROM events
+"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup mode): all pairs >= threshold.
+    Brute-force here (exact oracle); the LSH-bucketed variant is the scale
+    path (emb_lsh_topk)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", F.round(cosine(F.col("va"), F.col("vb")), 6)
+    )
+    return pairs.filter(F.col("cos") >= 0.4).select("vec_a", "vec_b", "cos")
+
+
+SQL_EMB_NEAR_DUP = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+_B5_QUERIES = {
+    "asof_pinned_snapshot": q_asof_pinned,
+    "epoch_parse": q_epoch_parse,
+    "emb_near_dup_pairs": q_emb_near_dup,
+}
+_B5_ORACLES = {
+    "asof_pinned_snapshot": SQL_ASOF_PINNED,
+    "epoch_parse": SQL_EPOCH,
+    "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+}
+
+_B4_QUERIES_FN = queries
+_B4_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B4_QUERIES_FN()
+    out.update(_B5_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B4_ORACLES_FN()
+    out.update(_B5_ORACLES)
+    return out
