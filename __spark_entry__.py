@@ -1056,14 +1056,21 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # per-row cents as BIGINT, exact integer sum — immune to the
+        # double-summation-order .005 boundary that flips round(sum, 2)
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long"))
+                / 100.0
+            ).alias("revenue")
+        )
     )
     return _ts_us(out, "o_orderdate")
 
 
 SQL_SHIPPING = """
 SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
