@@ -1286,3 +1286,87 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B4_ORACLES_FN()
     out.update(_B5_ORACLES)
     return out
+
+
+# ---------------------------------------------------------------------------
+# batch 6: the scaling-evidence job itself, oracle-verified
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.plans.features import build_rich_turn_features
+
+
+def q_rich_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact job measured in BENCH/BASELINE.md (fused ~30-column feature
+    build), verified against a full SQL oracle."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = tool_dim_from_events(spark, sf_dir)
+    out = build_rich_turn_features(t, d)
+    out = out.withColumn("chars_avg_5", F.round("chars_avg_5", 6)).withColumn(
+        "chars_avg_20", F.round("chars_avg_20", 6)
+    )
+    return _ts_us(out, "ts", "matched_effective_from")
+
+
+_RICH_LAGS = "\n       ".join(
+    f"lag(role, {n}) OVER ({W_SQL}) AS prev_role_{n},\n       "
+    f"lag(tool, {n}) OVER ({W_SQL}) AS prev_tool_{n},\n       "
+    f"{SECS} - lag({SECS}, {n}) OVER ({W_SQL}) AS ts_delta_s_{n},"
+    for n in (1, 2, 3)
+)
+_RICH_ROLL = "\n       ".join(
+    f"CAST(sum(text_len) OVER w{k} AS BIGINT) AS chars_sum_{k},\n       "
+    f"round(avg(text_len) OVER w{k}, 6) AS chars_avg_{k},\n       "
+    f"count(text_len) OVER w{k} AS chars_cnt_{k},"
+    for k in (5, 20)
+)
+SQL_RICH = f"""{WITH_TD},
+j AS (
+    SELECT t.*, CAST(length(t.text) AS BIGINT) AS text_len,
+           d.tool_category, d.cost_weight, d.effective_from AS matched_effective_from
+    FROM transcripts t
+    ASOF LEFT JOIN tool_dim d ON t.tool = d.tool AND t.ts >= d.effective_from
+),
+g AS (
+    SELECT *, {SECS} - lag({SECS}) OVER ({W_SQL}) AS delta
+    FROM j
+)
+SELECT conv_id, turn_idx, role, text, tool, tool_category, cost_weight, text_len,
+       epoch_us(ts) AS ts_us, epoch_us(matched_effective_from) AS matched_effective_from_us,
+       {_RICH_LAGS}
+       {_RICH_ROLL}
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w20 AS BIGINT) AS user_turns_20,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER w20 AS BIGINT) AS asst_turns_20,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w20 AS BIGINT) AS tool_turns_20,
+       max(text_len) OVER w20 AS chars_max_20w,
+       min(text_len) OVER w20 AS chars_min_20w,
+       CAST(sum(text_len) OVER wr AS BIGINT) AS chars_rsum_3600s,
+       count(text_len) OVER wr AS chars_rcnt_3600s,
+       last_value(tool IGNORE NULLS) OVER ({W_SQL}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_ffill,
+       CAST(sum(CASE WHEN delta IS NULL OR delta > 1800 THEN 1 ELSE 0 END)
+            OVER ({W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+           AS session_id
+FROM g
+WINDOW w5 AS ({W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w20 AS ({W_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       wr AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+_B6_QUERIES = {"rich_features": q_rich_features}
+_B6_ORACLES = {"rich_features": SQL_RICH}
+
+_B5_QUERIES_FN = queries
+_B5_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B5_QUERIES_FN()
+    out.update(_B6_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B5_ORACLES_FN()
+    out.update(_B6_ORACLES)
+    return out

@@ -23,6 +23,7 @@ from ipl_dagster_pipeline_spark.session import get_spark
 
 HEADLINE = [
     "flagship_features",
+    "rich_features",
     "sessionize_window",
     "sessionize_grouped",
     "asof_broadcast_range",
