@@ -802,10 +802,23 @@ QUALIFY rnk <= 5
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: hyperplane-LSH buckets + exact re-rank (rows-only check;
-    recall vs brute force is covered in tests/test_trainingdata.py)."""
+    """ANN scale path: hyperplane-LSH buckets + exact re-rank.
+
+    Approximate by design → rows-only check, but the result carries a
+    driver-visible invariant: each ANN hit is joined against the exact
+    brute-force neighbor at the same rank and ``within_bf_bound`` must be
+    true on every row (an ANN cosine can never exceed the exact cosine at
+    equal rank — LSH searches a subset).  Recall band is asserted in
+    tests/test_trainingdata.py."""
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, query_ids=list(range(10)), k=5)
+    qids = list(range(10))
+    ann = lsh_topk(emb, query_ids=qids, k=5)
+    bf = cosine_topk_bruteforce(emb, query_ids=qids, k=5).select(
+        "query_id", "rnk", F.col("cos").alias("bf_cos")
+    )
+    return ann.join(bf, ["query_id", "rnk"], "left").withColumn(
+        "within_bf_bound", F.col("cos") <= F.col("bf_cos") + F.lit(1e-9)
+    )
 
 
 def q_asof_conv_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1369,4 +1382,213 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B5_ORACLES_FN()
     out.update(_B6_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 7 (round 2): scale-safe embedding near-dup, media oracle, F6/F12/F13/
+# F15 scalar parity, S2 preference lookup
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.functions.scalars import (
+    human_moment,
+    local_date_parts,
+    point_geom,
+    split_latlon_pairs,
+)
+from ipl_dagster_pipeline_spark.operators.relational import prefer_first
+from ipl_dagster_pipeline_spark.operators.similarity import (
+    hyperplane_signs,
+    near_dup_pairs_lsh,
+)
+
+# -- emb_near_dup_lsh: the SCALE path for embedding near-duplicate pairs -----
+# (replaces the O(N²) theta join of emb_near_dup_pairs, which stays as the
+# small-SF exact-oracle mode).  The DuckDB oracle recomputes the IDENTICAL
+# hyperplane buckets (sign literals generated from the same hyperplane_signs),
+# so this approximate operator still gets a full value-hash gate.
+
+_ND_PLANES, _ND_TABLES, _ND_DIM, _ND_THRESH = 4, 8, 64, 0.4
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(
+        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_tables=_ND_TABLES, dim=_ND_DIM
+    )
+
+
+def _nd_bucket_sql(t: int) -> str:
+    terms = []
+    for p in range(_ND_PLANES):
+        signs = hyperplane_signs(t * _ND_PLANES + p, _ND_DIM)
+        arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_ND_BANDS_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT vec_id, {t} AS tbl, {_nd_bucket_sql(t)} AS bucket FROM v" for t in range(_ND_TABLES)
+)
+_ND_COS = (
+    "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+)
+
+SQL_EMB_ND_LSH = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+    {_ND_BANDS_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, round({_ND_COS}, 6) AS cos
+FROM cand
+JOIN v x ON x.vec_id = cand.vec_a
+JOIN v y ON y.vec_id = cand.vec_b
+WHERE round({_ND_COS}, 6) >= {_ND_THRESH}
+"""
+
+
+# -- media_decode_features oracle: the fake decode is pure md5-of-payload
+# arithmetic (payload = utf-8 bytes of text), so DuckDB recomputes n_bytes /
+# content_hash / h0-derived dims exactly — flips the query from rows-only to
+# a full value-hash row.
+SQL_MEDIA_DECODE = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           md5(text) AS content_hash,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+),
+h AS (
+    SELECT *, CAST(concat('0x', substring(content_hash, 1, 2)) AS BIGINT) AS h0 FROM m
+)
+SELECT media_id, media_type, n_bytes,
+       CASE WHEN media_type = 'image' THEN CAST(64 + (h0 % 64) AS INTEGER) END AS width,
+       CASE WHEN media_type = 'image' THEN CAST(64 + (h0 % 48) AS INTEGER) END AS height,
+       CASE WHEN media_type <> 'image' THEN n_bytes / 1000.0 END AS duration_s,
+       content_hash
+FROM h
+"""
+
+
+# -- scalar_extras: exercises the four previously-untested scalar helpers
+# (F6 split+pairwise restructure, F12 tz conversion + date parts, F13
+# strftime formatting, F15 geometry struct) in one oracle-gated query.
+# The geometry string is built from INTEGER fields so the string→double
+# round-trip is exact on both engines.
+
+
+def q_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    geom_str = F.concat_ws(
+        " ",
+        (F.col("user_id") % 90).cast("string"),
+        (F.col("event_id") % 180).cast("string"),
+        ((F.col("user_id") + 7) % 90).cast("string"),
+        ((F.col("event_id") + 13) % 180).cast("string"),
+    )
+    pairs = split_latlon_pairs(geom_str)
+    p1 = F.element_at(pairs, 1)
+    p2 = F.element_at(pairs, 2)
+    geom = point_geom(p1["lon"], p1["lat"])
+    berlin_local = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "Europe/Berlin")
+    return ev.select(
+        "event_id",
+        F.size(pairs).alias("n_pairs"),
+        p1["lat"].alias("lat1"),
+        p1["lon"].alias("lon1"),
+        p2["lat"].alias("lat2"),
+        p2["lon"].alias("lon2"),
+        geom["lon"].alias("geom_lon"),
+        geom["lat"].alias("geom_lat"),
+        *local_date_parts(F.col("ts").cast("timestamp")),
+        human_moment(berlin_local).alias("berlin_human"),
+    )
+
+
+SQL_SCALAR_EXTRAS = r"""
+WITH g AS (
+    SELECT event_id,
+           concat_ws(' ', CAST(user_id % 90 AS VARCHAR), CAST(event_id % 180 AS VARCHAR),
+                     CAST((user_id + 7) % 90 AS VARCHAR), CAST((event_id + 13) % 180 AS VARCHAR)) AS geom_str,
+           timezone('Europe/Berlin', timezone('UTC', ts)) AS berlin
+    FROM events
+),
+p AS (
+    SELECT *, regexp_split_to_array(trim(geom_str), '\s+') AS toks FROM g
+)
+SELECT event_id,
+       CAST(len(toks) // 2 AS INTEGER) AS n_pairs,
+       CAST(toks[1] AS DOUBLE) AS lat1,
+       CAST(toks[2] AS DOUBLE) AS lon1,
+       CAST(toks[3] AS DOUBLE) AS lat2,
+       CAST(toks[4] AS DOUBLE) AS lon2,
+       CAST(toks[2] AS DOUBLE) AS geom_lon,
+       CAST(toks[1] AS DOUBLE) AS geom_lat,
+       CAST(year(berlin) AS INTEGER) AS year,
+       CAST(month(berlin) AS INTEGER) AS month,
+       CAST(day(berlin) AS INTEGER) AS day,
+       CAST(hour(berlin) AS INTEGER) AS hour,
+       strftime(berlin, '%d.%m.%Y, %H:%M:%S') AS berlin_human
+FROM p
+"""
+
+
+# -- S2: catalog/preference lookup as a real engine op (reference
+# lamassu.py:93-104 — first matching language in the preference list wins,
+# fallback = any remaining language, deterministic tie-break).
+_LANG_PREFS = ["de", "en", "fr"]
+
+
+def q_prefer_first_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = prefer_first(
+        docs, keys=["source"], pref_col="lang", preferences=_LANG_PREFS, tie_break=[F.col("doc_id")]
+    )
+    return out.select("source", F.col("lang").alias("picked_lang"), F.col("doc_id").alias("picked_doc_id"))
+
+
+_PREF_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{v}' THEN {i}" for i, v in enumerate(_LANG_PREFS)
+) + f" ELSE {len(_LANG_PREFS)} END"
+
+SQL_PREFER_FIRST = f"""
+SELECT source, lang AS picked_lang, doc_id AS picked_doc_id
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY {_PREF_CASE}, doc_id) = 1
+"""
+
+
+_B7_QUERIES = {
+    "emb_near_dup_lsh": q_emb_near_dup_lsh,
+    "scalar_extras": q_scalar_extras,
+    "prefer_first_lang": q_prefer_first_lang,
+}
+_B7_ORACLES = {
+    "emb_near_dup_lsh": SQL_EMB_ND_LSH,
+    "media_decode_features": SQL_MEDIA_DECODE,
+    "scalar_extras": SQL_SCALAR_EXTRAS,
+    "prefer_first_lang": SQL_PREFER_FIRST,
+}
+
+_B6_QUERIES_FN = queries
+_B6_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B6_QUERIES_FN()
+    out.update(_B7_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B6_ORACLES_FN()
+    out.update(_B7_ORACLES)
     return out

@@ -109,14 +109,24 @@ class SnapshotTable:
         return spark.read.parquet(*self._state_dirs(snap))
 
     def read_incremental(self, spark: SparkSession, start_snapshot_id: int) -> DataFrame:
-        """Rows appended strictly after ``start_snapshot_id`` (append mode
-        snapshots only) — the Iceberg incremental-scan analog."""
+        """Rows changed strictly after ``start_snapshot_id`` — the Iceberg
+        incremental-scan analog.
+
+        Append-only ranges return EXACTLY the appended rows.  If an OVERWRITE
+        snapshot falls in the range, the table basis was replaced and
+        "appended rows" is ill-defined — unioning its full data dir with the
+        appends would double-count — so the full CURRENT state is returned
+        instead (a conservative superset: every surviving row may have
+        changed, which downstream bucket rebuilds handle correctly).
+        """
         snaps = [int(m.split(".")[0]) for m in self._manifests()]
         new = [s for s in snaps if s > start_snapshot_id]
         if not new:
             raise ValueError("no snapshots after start_snapshot_id")
-        dirs = [self._manifest(s)["data_dir"] for s in new]
-        return spark.read.parquet(*dirs)
+        manifests = [self._manifest(s) for s in new]
+        if any(m.get("mode", "overwrite") != "append" for m in manifests):
+            return self.read(spark)
+        return spark.read.parquet(*[m["data_dir"] for m in manifests])
 
 
 def write_day_partitioned(df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite") -> None:

@@ -59,8 +59,19 @@ def partition_lineage(df: DataFrame, stage: str, snapshot_id: int = 0) -> DataFr
 
 def append_lineage(lineage: DataFrame, lineage_path: str) -> None:
     """Append lineage rows to the parquet ``_lineage`` table (the engine's
-    metrics sink; an Iceberg metadata table in production)."""
-    lineage.write.mode("append").parquet(lineage_path)
+    metrics sink; an Iceberg metadata table in production).
+
+    The frame is coerced to ``schema.LINEAGE_SCHEMA`` first — a drifted
+    producer (missing snapshot_id, wrong dtype) fails here, at the write
+    boundary, not at some later reconciliation read."""
+    from .schema import LINEAGE_SCHEMA
+
+    missing = {f.name for f in LINEAGE_SCHEMA.fields} - set(lineage.columns)
+    if missing:
+        raise ValueError(f"lineage frame missing columns: {sorted(missing)}")
+    from .schema import enforce_schema
+
+    enforce_schema(lineage, LINEAGE_SCHEMA).write.mode("append").parquet(lineage_path)
 
 
 def total_from_lineage(

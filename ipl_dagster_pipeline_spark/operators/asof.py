@@ -45,21 +45,37 @@ def asof_join_union_fill(
 
     At equal timestamps the dim row sorts FIRST (src 0 < 1), so a snapshot
     effective exactly at ``ts`` is visible to that turn (allow_exact_matches).
+
+    The matched snapshot is forward-filled ATOMICALLY: all dim value columns
+    plus the snapshot timestamp travel in ONE struct filled with a single
+    ``last(ignorenulls)`` — filling each value column independently would let
+    an older snapshot's non-null value bleed through a newer snapshot's NULL,
+    diverging from row-wise as-of semantics (pd.merge_asof / ASOF JOIN).
+    One window expression instead of len(vals)+1 is also the cheaper plan.
     """
+    from pyspark.sql import types as T
+
     vals = _dim_value_cols(dim, key, dim_ts)
-    f = facts.withColumn("__src", F.lit(1)).withColumn("__dts", F.lit(None).cast("timestamp"))
-    for c in vals:
-        f = f.withColumn(c, F.lit(None).cast(dim.schema[c].dataType))
+    collisions = sorted(set(vals) & set(facts.columns))
+    if collisions:
+        raise ValueError(
+            f"fact/dim value-column name collision {collisions}: rename the "
+            "dim value columns before the as-of join"
+        )
+    snap_type = T.StructType(
+        [T.StructField(c, dim.schema[c].dataType, True) for c in vals]
+        + [T.StructField("__dts", T.TimestampType(), True)]
+    )
+    f = facts.withColumn("__src", F.lit(1)).withColumn("__snap", F.lit(None).cast(snap_type))
     d = dim.select(
         F.col(key),
         F.col(dim_ts).alias(ts_col),
         F.lit(0).alias("__src"),
-        F.col(dim_ts).alias("__dts"),
-        *[F.col(c) for c in vals],
+        F.struct(*[F.col(c) for c in vals], F.col(dim_ts).alias("__dts")).alias("__snap"),
     )
-    fact_extra = [c for c in f.columns if c not in d.columns]
-    for c in fact_extra:
-        d = d.withColumn(c, F.lit(None).cast(f.schema[c].dataType))
+    for c in facts.columns:
+        if c not in (key, ts_col):
+            d = d.withColumn(c, F.lit(None).cast(facts.schema[c].dataType))
     u = f.select(*f.columns).unionByName(d.select(*f.columns))
 
     w = (
@@ -67,10 +83,15 @@ def asof_join_union_fill(
         .orderBy(ts_col, "__src", F.col("turn_idx").asc_nulls_first() if "turn_idx" in f.columns else F.lit(0))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in vals:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    u = u.withColumn("matched_effective_from", F.last("__dts", ignorenulls=True).over(w))
-    return u.filter(F.col("__src") == 1).drop("__src", "__dts")
+    u = u.withColumn("__fill", F.last("__snap", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__src") == 1)
+        .select(
+            *facts.columns,
+            *[F.col(f"__fill.{c}").alias(c) for c in vals],
+            F.col("__fill.__dts").alias("matched_effective_from"),
+        )
+    )
 
 
 def asof_join_cogrouped(

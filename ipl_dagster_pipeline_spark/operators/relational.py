@@ -104,6 +104,37 @@ def explode_json_records(
     return out.select(*meta_cols, *[F.col(f"__rec.{f}").alias(f) for f in rec_fields])
 
 
+def prefer_first(
+    df: DataFrame,
+    keys: list[str],
+    pref_col: str,
+    preferences: list[str],
+    tie_break: list[Column] | None = None,
+) -> DataFrame:
+    """First-matching-preference-wins per key (SURVEY §2.1 S2).
+
+    For each key group, keep the single row whose ``pref_col`` value appears
+    EARLIEST in ``preferences``; rows whose value is not in the list rank
+    after all listed values (the reference's fallback: first available
+    translation when no preferred language matches, lamassu.py:93-104).
+    ``tie_break`` orders rows with equal preference rank deterministically.
+
+    One window over the key — no join, no distinct pass; scales like any
+    rank-dedup (P7).
+    """
+    rank_expr = None
+    for i, v in enumerate(preferences):
+        cond = F.col(pref_col) == v
+        rank_expr = F.when(cond, F.lit(i)) if rank_expr is None else rank_expr.when(cond, F.lit(i))
+    rank_expr = (
+        rank_expr.otherwise(F.lit(len(preferences)))
+        if rank_expr is not None
+        else F.lit(len(preferences))
+    )
+    order = [rank_expr] + list(tie_break or [])
+    return rank_dedup(df, keys, order, keep="first")
+
+
 def map_lookup(col: Column, mapping: dict[str, str], default: str) -> Column:
     """Dict-lookup with default (F9; INCIDENT_TYPE_MAPPPING.get(x, default),
     cifs.py:27-32,103-112).  Chained when/otherwise stays in codegen."""

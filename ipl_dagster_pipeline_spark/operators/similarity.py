@@ -4,14 +4,25 @@
   set, JVM-side dot products via ``F.zip_with`` + ``F.aggregate`` (sequential
   left-to-right summation — bit-reproducible in any engine that sums in list
   order, which the DuckDB oracle does), rank per query.
-* ``lsh_topk`` — the scale path: sign-random-projection (hyperplane) LSH.
-  Hyperplanes are DERIVED FROM THE PORTABLE HASH (no RNG, no driver data):
-  plane p's component for dimension d is ±1 by a hash bit.  Candidates =
+* ``lsh_topk`` — the ANN scale path: sign-random-projection (hyperplane) LSH.
+  Hyperplanes are DERIVED FROM INTEGER HASH BITS (no RNG, no driver data):
+  plane q's component for dimension d is ±1 by bit 17 of
+  ``GOLDEN * (q*dim + d + 1)`` — see ``hyperplane_signs``.  Candidates =
   same bucket; exact cosine re-rank inside buckets.  At 100 TB the bucket
   join replaces the O(N·Q) cross product with an equi-join on bucket id.
+* ``near_dup_pairs_lsh`` — the scale path for embedding near-duplicate
+  DETECTION (all pairs ≥ threshold): multi-table banded LSH (union of
+  ``n_tables`` independent bucket assignments), candidate equi-join on
+  (table, bucket), exact cosine re-rank + threshold.  Replaces the O(N²)
+  theta join, which remains only as the small-SF oracle mode
+  (__spark_entry__.q_emb_near_dup).
 
 All arithmetic in double (cast from float32 FIRST on both engines, so the
 widening happens at the same point).
+
+Parameter rule at scale: ``n_planes ≈ log2(N / target_bucket_rows)`` (so
+candidate blocks stay bounded) and ``n_tables`` set by the recall target
+(per-pair collision prob = 1-(1-p^planes)^tables, p = 1 - angle/pi).
 """
 
 from __future__ import annotations
@@ -19,7 +30,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text_dedup import portable_hash
+# odd 64-bit multiplier (golden-ratio constant); bit 17 of K*i is a cheap,
+# well-mixed pseudo-random bit.  NOTE: (K*i) % 2 would collapse to parity(i) —
+# K is odd — which is exactly the round-1 degeneracy this construction fixes.
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def hyperplane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 signs of hyperplane ``plane`` over ``dim`` dims.
+
+    Shared by the Spark operator AND the DuckDB oracle generator
+    (__spark_entry__.py), so both engines use bit-identical planes.
+    """
+    return [
+        1.0 if ((_GOLDEN * (plane * dim + d + 1)) >> 17) & 1 == 0 else -1.0
+        for d in range(dim)
+    ]
 
 
 def _as_double(col: Column) -> Column:
@@ -71,24 +97,21 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0) -> Column:
     """Deterministic sign-random-projection bucket id (0 .. 2^n_planes-1).
 
-    Plane p, dim d sign = ±1 from bit (d % 60) of portable_hash("p", p||d).
-    No RNG state — identical on every executor, run, and engine.
+    Bit p of the bucket is ``sign(vec · plane_{table*n_planes+p})``; planes
+    come from ``hyperplane_signs`` (hash-bit construction, no RNG state —
+    identical on every executor, run, and engine).  ``table`` offsets the
+    plane index so multi-table LSH gets independent plane sets.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        proj = F.lit(0.0)
-        # fold the vector against the hash-sign plane, JVM-side
-        signs = [
-            1 if (0x9E3779B97F4A7C15 * (p * dim + d + 1)) % 2 == 0 else -1  # deterministic int math
-            for d in range(dim)
-        ]
+        signs = hyperplane_signs(table * n_planes + p, dim)
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(s)) for s in signs]),
+                F.array(*[F.lit(s) for s in signs]),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -104,24 +127,116 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane bucket, exact
-    cosine re-rank within bucket.  Recall measured in tests vs brute force."""
+    """Approximate top-k: candidates share any of ``n_tables`` hyperplane
+    buckets (multi-table LSH — the standard recall lever: per-table miss
+    probabilities multiply), exact cosine re-rank over the deduped candidate
+    set.  Recall measured in tests vs brute force.
+
+    Scale shape: candidate discovery is a broadcast equi-join on
+    (tbl, bucket) (queries are the broadcast side), then one distinct and one
+    id-equi-join to fetch vectors — never a cross product."""
     from pyspark.sql import Window
 
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
-        "bucket", hyperplane_bucket(F.col("v"), n_planes, dim)
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col)
+    qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
-    pairs = base.join(F.broadcast(q), on="bucket").filter(F.col(id_col) != F.col("query_id"))
-    pairs = pairs.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    pairs = (
+        cand.join(base, on=id_col)
+        .join(F.broadcast(q), on="query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def hyperplane_buckets_tall(
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket) — one row per vector per LSH table.
+
+    All ``n_tables`` bucket ids are computed in ONE projection pass over each
+    vector (array of structs, then explode) — the vector is read once, and the
+    shuffle that follows carries only (id, tbl, bucket)."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    return base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col("v"), n_planes, dim, table=t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-safe embedding near-duplicate pairs: multi-table hyperplane LSH
+    candidates + exact cosine re-rank + threshold.
+
+    Physical shape at 100 TB: one projection pass computes all table buckets
+    per vector; candidates are an EQUI self-join on (tbl, bucket) (never a
+    theta/cross join); the exact re-rank joins vectors back by id only for
+    surviving candidate pairs.  The bucket frame is persisted so the self-join
+    does not recompute the projection lineage per side.
+
+    Approximation is one-sided: output ⊆ the exact pair set (recall measured
+    in tests; raise ``n_tables`` to raise recall, ``n_planes`` with log2(N)).
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col).persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    vb = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    )
+    return pairs.filter(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")

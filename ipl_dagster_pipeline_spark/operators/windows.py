@@ -86,7 +86,7 @@ def with_rolling_rows(
 
 def with_rolling_range(
     df: DataFrame,
-    value: Column,
+    value: Column | str,
     seconds: int,
     out_prefix: str,
     key: str = KEY,
@@ -94,23 +94,35 @@ def with_rolling_range(
     """Rolling aggregates over a trailing time range ``[ts - seconds, ts]``
     (W4, range frame).  Range frames need a single numeric sort key, so we
     order by epoch seconds; ties on ts collapse into the same range position
-    which is the correct time-window semantics."""
+    which is the correct time-window semantics.
+
+    ``value`` may be a column NAME (referenced directly in the window SQL) or
+    an arbitrary Column expression (pre-projected to a temp column first —
+    no ``_jc`` SQL round-trip, so this works under Spark Connect too).
+    """
     # INTERVAL range frame ordered by the RAW ts column: required ordering
     # [ts] is a satisfied prefix of the shared chain sort [ts, turn_idx], so
     # this window adds NO extra sort (exact micros semantics, inclusive ends).
     # The Python rangeBetween API only takes longs, so spell it in window SQL.
-    value_sql = value._jc.toString() if hasattr(value, "_jc") else str(value)
+    tmp = None
+    if isinstance(value, str):
+        value_sql = value
+    else:
+        tmp = f"__rr_{out_prefix}"
+        df = df.withColumn(tmp, value)
+        value_sql = tmp
     over = (
         f"OVER (PARTITION BY {key} ORDER BY ts "
         f"RANGE BETWEEN INTERVAL {seconds} SECONDS PRECEDING AND CURRENT ROW)"
     )
     # single select so both aggregates land in ONE physical Window node
     # (chained withColumn produced two Window+Sort pairs over the same key)
-    return df.select(
+    out = df.select(
         "*",
         F.expr(f"sum({value_sql}) {over}").alias(f"{out_prefix}_rsum_{seconds}s"),
         F.expr(f"count({value_sql}) {over}").alias(f"{out_prefix}_rcnt_{seconds}s"),
     )
+    return out.drop(tmp) if tmp else out
 
 
 def backfill(df: DataFrame, col: str, out: str | None = None, key: str = KEY) -> DataFrame:
@@ -132,9 +144,19 @@ def rank_dedup(
 ) -> DataFrame:
     """Dedup by key with deterministic keep-first/keep-last (SURVEY P7/W1).
 
-    ``keep='last'`` flips the ordering.  Reference parity:
+    ``order`` must be PLAIN (direction-less) Columns — the direction belongs
+    to ``keep``: 'first' keeps the minimum under ascending order, 'last' the
+    maximum.  Passing an already-``.desc()``-ed Column would silently re-flip
+    under keep='last', so it is rejected.  Reference parity:
     ``drop_duplicates(subset=…, keep='first'|'last')`` (lamassu.py:221,306-311).
     """
+    for c in order:
+        s = str(c)
+        if " ASC" in s or " DESC" in s:
+            raise ValueError(
+                f"rank_dedup order columns must be direction-less (got {s}); "
+                "direction is chosen by keep="
+            )
     ordering = order if keep == "first" else [c.desc() for c in order]
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (

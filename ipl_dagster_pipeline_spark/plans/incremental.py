@@ -79,7 +79,15 @@ def incremental_update(
     feats = feats.withColumn("conv_bucket", conv_bucket(F.col("conv_id"), n_buckets)).cache()
     n_rows = feats.count()
     n_touched = touched.count()
-    # dynamic overwrite: replaces exactly the touched bucket directories
-    feats.write.mode("overwrite").partitionBy("conv_bucket").parquet(features_path)
+    # dynamic overwrite: replaces exactly the touched bucket directories.
+    # The mode is pinned ON THE WRITER — relying on the session conf would
+    # silently become a FULL-table overwrite (destroying untouched buckets)
+    # under any session that left Spark's default static mode in place.
+    (
+        feats.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("conv_bucket")
+        .parquet(features_path)
+    )
     feats.unpersist()
     return {"touched_buckets": n_touched, "rebuilt_rows": n_rows, "to_snapshot": current}

@@ -50,6 +50,7 @@ CONV_DIM_SCHEMA = T.StructType(
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("stage", T.StringType(), False),
+        T.StructField("snapshot_id", T.LongType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("row_count", T.LongType(), False),
         T.StructField("checksum", T.LongType(), False),

@@ -83,20 +83,25 @@ def streaming_turn_rates(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> list:
+def run_available_now(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+) -> None:
     """Execute a streaming plan over all currently-available input (catch-up
-    batch), collecting from an in-memory sink.  Test/bootstrap helper.
+    batch) into a PARQUET sink — the production late-data reprocessing entry
+    point (pairs with idempotent partition overwrite, io.py).
 
-    Use ``output_mode='complete'`` for aggregations (append only emits windows
-    already finalized by the watermark, which a bounded catch-up never reaches
-    for the trailing sessions).
+    No driver-side collect: read the sink path afterwards.  The in-memory
+    collecting variant lives in tests (tests/test_streaming.py drain helper).
     """
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

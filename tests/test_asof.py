@@ -84,3 +84,36 @@ def test_snapshot_broadcast_pins_latest_leq_asof(spark):
     )
     row = asof_snapshot_broadcast(facts, dim, key="tool", as_of="2024-02-01 00:00:00").collect()[0]
     assert row.w == 1.0
+
+
+def test_union_fill_matched_snapshot_is_atomic(spark):
+    """A newer dim snapshot with a NULL value column must yield NULL for that
+    column (row-wise as-of semantics) — per-column forward-fill would bleed
+    the older snapshot's non-null value through while reporting the newer
+    matched_effective_from (ADVICE round 1)."""
+    import pytest
+
+    facts = (
+        spark.createDataFrame(
+            [("c1", 1, "search", "2024-01-03 00:00:00")],
+            ["conv_id", "turn_idx", "tool", "ts"],
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    dim = (
+        spark.createDataFrame(
+            [
+                ("search", "2024-01-01 00:00:00", "cat_old", 1.0),
+                ("search", "2024-01-02 00:00:00", None, 2.0),  # newer: NULL category
+            ],
+            ["tool", "effective_from", "tool_category", "cost_weight"],
+        ).withColumn("effective_from", F.to_timestamp("effective_from"))
+    )
+    for fn in (asof_join_union_fill, asof_join_cogrouped, asof_join_broadcast_range):
+        row = fn(facts, dim, key="tool").collect()[0]
+        assert row.cost_weight == 2.0, fn.__name__
+        assert row.tool_category is None, f"{fn.__name__}: older snapshot value bled through"
+
+    # fact/dim value-column name collision must raise, not silently null out
+    facts_clash = facts.withColumn("cost_weight", F.lit(9.9))
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_union_fill(facts_clash, dim, key="tool")

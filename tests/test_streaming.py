@@ -7,7 +7,6 @@ import pytest
 
 from ipl_dagster_pipeline_spark.operators.sessionize import session_aggregates, sessionize
 from ipl_dagster_pipeline_spark.streaming.session_stream import (
-    run_available_now,
     stream_transcripts,
     streaming_dedup,
     streaming_sessionize,
@@ -15,6 +14,21 @@ from ipl_dagster_pipeline_spark.streaming.session_stream import (
 )
 
 GAP = 900
+
+
+def run_to_memory(stream_df, query_name: str, output_mode: str = "append") -> list:
+    """Test-only drain: availableNow catch-up into an in-memory sink, collect.
+    (The production entry point is session_stream.run_available_now → parquet;
+    driver-side collect belongs in tests only.)"""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +44,7 @@ def transcript_dir(spark, tmp_path_factory):
 
 def test_streaming_sessionize_matches_batch(spark, transcript_dir):
     stream = stream_transcripts(spark, transcript_dir)
-    rows = run_available_now(
+    rows = run_to_memory(
         streaming_sessionize(stream, gap_seconds=GAP), "sess_stream", output_mode="complete"
     )
     batch = spark.read.parquet(transcript_dir)
@@ -56,15 +70,23 @@ def test_streaming_dedup_drops_late_duplicates(spark, transcript_dir):
     # feed each file twice by unioning the stream with itself is not allowed;
     # instead duplicate rows inside the stream via explode
     doubled = stream.withColumn("__n", F.explode(F.array(F.lit(1), F.lit(2)))).drop("__n")
-    rows = run_available_now(streaming_dedup(doubled), "dedup_stream")
+    rows = run_to_memory(streaming_dedup(doubled), "dedup_stream")
     n_unique = spark.read.parquet(transcript_dir).count()
     assert len(rows) == n_unique
 
 
 def test_streaming_turn_rates_totals(spark, transcript_dir):
     stream = stream_transcripts(spark, transcript_dir)
-    rows = run_available_now(
+    rows = run_to_memory(
         streaming_turn_rates(stream, window="1 hour", slide="1 hour"), "rates_stream", output_mode="complete"
     )
     total = spark.read.parquet(transcript_dir).count()
     assert sum(r.n_turns for r in rows) == total  # tumbling: each turn in exactly one window
+
+
+def test_run_available_now_parquet_sink(spark, transcript_dir, tmp_path):
+    from ipl_dagster_pipeline_spark.streaming.session_stream import run_available_now
+
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    run_available_now(streaming_dedup(stream_transcripts(spark, transcript_dir)), sink, ck)
+    assert spark.read.parquet(sink).count() == spark.read.parquet(transcript_dir).count()

@@ -79,20 +79,96 @@ def test_simhash_similar_docs_close_hamming(spark, docs):
     assert hamming <= 3  # near-identical docs → near-identical signatures
 
 
+def test_hyperplane_buckets_not_degenerate(spark, emb):
+    """Round-1 regression: the sign construction must yield ≥ 2^(n-1)
+    DISTINCT occupied buckets (the odd-constant %2 bug collapsed every plane
+    to one alternating pattern → exactly 2 buckets)."""
+    from ipl_dagster_pipeline_spark.operators.similarity import (
+        _as_double,
+        hyperplane_bucket,
+        hyperplane_signs,
+    )
+
+    # plane patterns must be pairwise distinct
+    pats = [tuple(hyperplane_signs(q, 64)) for q in range(16)]
+    assert len(set(pats)) == 16
+    n_rows = emb.count()
+    # the sf0.001 embeddings are CLUSTERED (a few directional centroids), so
+    # occupancy saturates below 2^n for large n — assert full 2^(n-1) only
+    # where the corpus could fill it, plus a max-share bound everywhere (the
+    # degenerate bug put ~50% of the corpus in each of exactly 2 buckets)
+    for n_planes, min_occupied in ((4, 8), (8, 32)):
+        dist = (
+            emb.select(
+                hyperplane_bucket(_as_double(F.col("embedding")), n_planes, 64).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        occupied = len(dist)
+        max_share = max(r["count"] for r in dist) / n_rows
+        assert occupied >= min_occupied, f"{n_planes} planes: {occupied} buckets"
+        assert max_share < 0.3, f"{n_planes} planes: max bucket share {max_share}"
+
+
 def test_lsh_topk_recall_vs_bruteforce(emb):
     qids = list(range(20))
     bf = cosine_topk_bruteforce(emb, qids, k=5).toPandas()
-    ann = lsh_topk(emb, qids, k=5, n_planes=4).toPandas()
+    ann = lsh_topk(emb, qids, k=5, n_planes=4, n_tables=4).toPandas()
     bf_set = set(zip(bf.query_id, bf.neighbor_id))
     ann_set = set(zip(ann.query_id, ann.neighbor_id))
     recall = len(bf_set & ann_set) / len(bf_set)
-    # 4 planes → 16 buckets over 500 vecs; random-ish embeddings: modest recall
-    assert recall > 0.2, f"recall {recall}"
+    # 4 planes × 4 tables → candidates ≈ 4/16 of the corpus per query; on the
+    # clustered sf0.001 embeddings measured recall is ~0.55 (single-table was
+    # ~0.23).  Band is MEANINGFUL by design: well above what the round-1
+    # degenerate 2-bucket hash could trivially pass, below a full scan's 1.0.
+    assert 0.35 <= recall <= 0.95, f"recall {recall}"
     # every ANN rank-1 cosine must be <= brute force rank-1 (it's a subset search)
     bf1 = bf[bf.rnk == 1].set_index("query_id").cos
     ann1 = ann[ann.rnk == 1].set_index("query_id").cos
     common = bf1.index.intersection(ann1.index)
     assert (ann1[common] <= bf1[common] + 1e-9).all()
+
+
+def test_near_dup_lsh_finds_planted_dups_and_is_subset(spark, emb):
+    """Planted high-cosine near-duplicates must be recovered by the LSH pair
+    path at near-dup thresholds, and LSH pairs ⊆ brute-force pairs always."""
+    from ipl_dagster_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        near_dup_pairs_lsh,
+    )
+
+    # plant: copy 20 vectors with one coordinate nudged (+0.05) → cos ≈ 0.999
+    planted = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x)
+            ).alias("embedding"),
+        )
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = near_dup_pairs_lsh(both, threshold=0.9, n_planes=8, n_tables=4).toPandas()
+    hits = pairs[(pairs.vec_b - pairs.vec_a == 10000) & (pairs.vec_a < 20)]
+    recall = len(hits) / 20
+    assert recall >= 0.9, f"planted near-dup recall {recall}"
+    # subset property: every LSH pair exists in the exact pair set at the
+    # same threshold (approximation only MISSES pairs, never invents them)
+    base = both.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    exact = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.9)
+        .select("vec_a", "vec_b")
+        .toPandas()
+    )
+    exact_set = set(zip(exact.vec_a, exact.vec_b))
+    assert set(zip(pairs.vec_a, pairs.vec_b)) <= exact_set
 
 
 def test_media_decode_plumbing(docs):
