@@ -1592,3 +1592,112 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B6_ORACLES_FN()
     out.update(_B7_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 8 (round 2): duplicate-GROUP resolution (connected components) and
+# deterministic train/val/test hash split
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.graph import duplicate_groups
+from ipl_dagster_pipeline_spark.operators.sampling import hash_split
+
+
+def q_emb_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → groups → keeper: connected components (hash-to-min label
+    propagation) over the LSH near-dup pair graph, keeper = min id per
+    component.  The DuckDB oracle recomputes the SAME pair graph (shared
+    hyperplane sign literals) and closes it with a recursive CTE — an
+    iterative distributed algorithm with a full value-hash gate."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs_lsh(
+        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_tables=_ND_TABLES, dim=_ND_DIM
+    )
+    return duplicate_groups(pairs, left="vec_a", right="vec_b")
+
+
+_ND_CTES = f"""v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+    {_ND_BANDS_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+pairs AS (
+    SELECT cand.vec_a, cand.vec_b
+    FROM cand
+    JOIN v x ON x.vec_id = cand.vec_a
+    JOIN v y ON y.vec_id = cand.vec_b
+    WHERE round({_ND_COS}, 6) >= {_ND_THRESH}
+)"""
+
+SQL_EMB_COMPONENTS = f"""
+WITH RECURSIVE
+{_ND_CTES},
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM pairs
+    UNION
+    SELECT vec_b, vec_a FROM pairs
+),
+reach(v, r) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v
+)
+SELECT v AS member, min(r) AS keeper, v = min(r) AS is_keeper
+FROM reach
+GROUP BY v
+"""
+
+
+_SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: pure
+    projection on the portable md5 hash — stable under any parallelism,
+    no RNG, no shuffle (key by conv/doc id to keep entities in one fold)."""
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", fractions=_SPLIT_FRACS).select("doc_id", "split")
+
+
+SQL_HASH_SPLIT = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+_B8_QUERIES = {
+    "emb_dup_components": q_emb_dup_components,
+    "doc_hash_split": q_doc_hash_split,
+}
+_B8_ORACLES = {
+    "emb_dup_components": SQL_EMB_COMPONENTS,
+    "doc_hash_split": SQL_HASH_SPLIT,
+}
+
+_B7_QUERIES_FN = queries
+_B7_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B7_QUERIES_FN()
+    out.update(_B8_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B7_ORACLES_FN()
+    out.update(_B8_ORACLES)
+    return out

@@ -52,11 +52,20 @@ def main() -> None:
     # warm the JVM + parquet footers once (not counted)
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
+    # two passes per query: the FIRST includes per-stage JIT/codegen warmup
+    # (each query contributes fresh generated classes — a constant that
+    # vanishes at real scale), the SECOND is engine steady state.  `value`
+    # stays the cold-pass sum for cross-round comparability; `value_steady`
+    # is the honest 100-TB-rate signal.
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        steady[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     flag = timings.get("flagship_features") or 1e-9
@@ -68,9 +77,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_steady": round(sum(steady.values()), 3),
+                "queries_steady": steady,
+                "timing": "queries = first (cold, incl. codegen warmup; round-1-comparable); queries_steady = second run",
                 "sf": float(sf),
                 "turns": n_turns,
                 "flagship_turns_per_sec": round(n_turns / flag, 1),
+                "flagship_turns_per_sec_steady": round(n_turns / (steady.get("flagship_features") or 1e-9), 1),
                 "cpus": int(cpus),
             }
         )

@@ -1,0 +1,61 @@
+"""Connected components (duplicate groups) + deterministic hash split."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ipl_dagster_pipeline_spark.operators.graph import connected_components, duplicate_groups
+from ipl_dagster_pipeline_spark.operators.sampling import hash_split
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11, and
+    # a triangle 20-21-22 with a redundant edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["src", "dst"],
+    )
+    comp = {r.v: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # path 0-1-...-30: worst-case diameter for label propagation; must still
+    # converge within max_rounds and label everything with 0
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    comp = connected_components(edges, max_rounds=40).collect()
+    assert all(r.comp == 0 for r in comp)
+    assert len(comp) == 31
+
+
+def test_duplicate_groups_keeper_rule(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (100, 50)], ["doc_a", "doc_b"])
+    got = {r.member: (r.keeper, r.is_keeper) for r in duplicate_groups(pairs).collect()}
+    assert got == {
+        3: (3, True),
+        7: (3, False),
+        9: (3, False),
+        50: (50, True),
+        100: (50, False),
+    }
+
+
+def test_hash_split_is_deterministic_and_proportional(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k").groupBy("split").count().collect()
+    fracs = {r.split: r["count"] / 20000 for r in a}
+    assert abs(fracs["train"] - 0.9) < 0.02
+    assert abs(fracs["val"] - 0.05) < 0.01
+    assert abs(fracs["test"] - 0.05) < 0.01
+    # identical assignment under different parallelism (pure projection)
+    b = hash_split(df.repartition(17), "k").select("k", "split")
+    assert b.join(hash_split(df, "k").select("k", F.col("split").alias("s2")), "k").filter(
+        F.col("split") != F.col("s2")
+    ).count() == 0
+
+
+def test_hash_split_validates_fractions(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", fractions={"a": 0.5, "b": 0.6})
