@@ -1701,3 +1701,42 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B7_ORACLES_FN()
     out.update(_B8_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 9 (round 2): IVF ANN — the learned-quantizer similarity scale path
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.similarity import ivf_topk
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means coarse quantizer, n_probe cell search,
+    exact re-rank).  Approximate + learned (k-means float sums are not
+    engine-portable) → rows-only check, with the same driver-visible
+    ``within_bf_bound`` invariant as the LSH path: an ANN cosine can never
+    exceed the exact cosine at equal rank."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    ann = ivf_topk(emb, query_ids=qids, k=5, n_clusters=16, n_probe=4)
+    bf = cosine_topk_bruteforce(emb, query_ids=qids, k=5).select(
+        "query_id", "rnk", F.col("cos").alias("bf_cos")
+    )
+    return ann.join(bf, ["query_id", "rnk"], "left").withColumn(
+        "within_bf_bound", F.col("cos") <= F.col("bf_cos") + F.lit(1e-9)
+    )
+
+
+_B9_QUERIES = {"emb_ivf_topk": q_emb_ivf_topk}
+
+_B8_QUERIES_FN = queries
+_B8_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B8_QUERIES_FN()
+    out.update(_B9_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    return _B8_ORACLES_FN()

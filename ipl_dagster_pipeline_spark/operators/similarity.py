@@ -198,6 +198,72 @@ def hyperplane_buckets_tall(
     ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``n_clusters`` cells; each query probes its
+    ``n_probe`` nearest cells and re-ranks exactly inside them.
+
+    Scale shape: training runs on a SAMPLE (``train_fraction``); corpus cell
+    assignment is a single ML-transform map (no shuffle); the query→cell
+    ranking joins Q queries against a BROADCAST k-row centroid table (Q·k tiny
+    rows — the only intentional non-equi join); candidate fetch is an
+    equi-join on cell id.  Expected candidates ≈ corpus · n_probe/n_clusters.
+    Complements the hyperplane-LSH path: IVF adapts to the data distribution
+    (learned centroids), LSH is data-independent and oracle-reproducible.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    feat = base.withColumn("features", array_to_vector(F.col("v")))
+    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell").fit(train)
+    assigned = model.transform(feat).select(id_col, "v", "cell")
+
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent = emb.sparkSession.createDataFrame(centroids, ["cell", "cvec"])
+
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    # rank the k centroids per query (Q×k rows — bounded by design)
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cdist",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = assigned.join(probes, on="cell").filter(F.col(id_col) != F.col("query_id"))
+    pairs = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.4,

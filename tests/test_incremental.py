@@ -89,3 +89,31 @@ def test_untouched_buckets_survive_overwrite(spark, tmp_path):
     out = spark.read.parquet(feats_path)
     assert out.select("conv_id").distinct().count() == 40  # nothing clipped
     assert out.count() == base.count() + late.count()
+
+
+def test_overwrite_in_range_rebuilds_everything_without_double_count(spark, tmp_path):
+    """An OVERWRITE snapshot inside the incremental range resets the table
+    basis: read_incremental must return the full current state (not overwrite
+    dir + appends, which double-counts), and incremental_update must rebuild
+    from it idempotently."""
+    from ipl_dagster_pipeline_spark.io import SnapshotTable
+    from ipl_dagster_pipeline_spark.sources.transcripts import (
+        synthesize_tool_dim,
+        synthesize_transcripts,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    base = synthesize_transcripts(spark, n_convs=20, turns_per_conv=10, seed=3)
+    s1 = tbl.commit(base)
+    tbl.commit(base.limit(50), mode="append")
+    replaced = synthesize_transcripts(spark, n_convs=25, turns_per_conv=10, seed=4)
+    tbl.commit(replaced, mode="overwrite")
+
+    inc = tbl.read_incremental(spark, start_snapshot_id=s1)
+    assert inc.count() == replaced.count()  # full current state, counted once
+
+    feats_path = str(tmp_path / "f")
+    dim = synthesize_tool_dim(spark, seed=3, n_days=10)
+    stats = incremental_update(spark, tbl, dim, feats_path, since_snapshot_id=s1, n_buckets=8)
+    assert stats["rebuilt_rows"] == replaced.count()
+    assert spark.read.parquet(feats_path).count() == replaced.count()

@@ -53,3 +53,23 @@ def test_rich_build_pit_safety(spark, small_transcripts, small_tool_dim):
     out = build_rich_turn_features(small_transcripts, small_tool_dim)
     leaks = out.filter(F.col("matched_effective_from") > F.col("ts")).count()
     assert leaks == 0
+
+
+def test_lsh_paths_have_no_nested_loop_joins(spark):
+    """Scale contract for the dedup/ANN scale paths: candidate generation must
+    be EQUI joins (hash/sort-merge) — a CartesianProduct or
+    BroadcastNestedLoopJoin in the plan means the theta-join regression came
+    back.  (The brute-force oracle modes are exempt by design.)"""
+    from ipl_dagster_pipeline_spark.operators.similarity import lsh_topk, near_dup_pairs_lsh
+    from ipl_dagster_pipeline_spark.operators.text_dedup import minhash_lsh_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        near_dup_pairs_lsh(emb, threshold=0.4, n_planes=4, n_tables=2),
+        lsh_topk(emb, query_ids=[0, 1], k=3, n_planes=4, n_tables=2),
+        minhash_lsh_dedup(docs),
+    ):
+        counts = _node_counts(spark, df)
+        assert counts.get("CartesianProduct", 0) == 0, counts
+        assert counts.get("BroadcastNestedLoopJoin", 0) == 0, counts

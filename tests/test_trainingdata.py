@@ -194,3 +194,21 @@ def test_latest_media_per_source(docs):
     latest = latest_media_per_source(media)
     assert latest.count() == 3  # one source × 3 media types
     assert latest.agg(F.sum("n_items")).collect()[0][0] == docs.count()
+
+
+def test_ivf_topk_recall_and_subset(emb):
+    from ipl_dagster_pipeline_spark.operators.similarity import ivf_topk
+
+    qids = list(range(20))
+    bf = cosine_topk_bruteforce(emb, qids, k=5).toPandas()
+    ann = ivf_topk(emb, qids, k=5, n_clusters=16, n_probe=4).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ann_set = set(zip(ann.query_id, ann.neighbor_id))
+    recall = len(bf_set & ann_set) / len(bf_set)
+    # 16 cells, 4 probes → ~25% of the corpus searched; measured ~0.64
+    assert 0.4 <= recall <= 0.98, f"recall {recall}"
+    # subset property: ANN cosine ≤ exact cosine at the same rank
+    bf1 = bf.set_index(["query_id", "rnk"]).cos
+    ann1 = ann.set_index(["query_id", "rnk"]).cos
+    common = bf1.index.intersection(ann1.index)
+    assert (ann1[common] <= bf1[common] + 1e-9).all()
