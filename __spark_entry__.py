@@ -1740,3 +1740,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     return _B8_ORACLES_FN()
+
+# ---------------------------------------------------------------------------
+# batch 10 (round 2): multimodal resize + frame-sample plumbing (oracle-gated)
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.multimodal import resize_images, sample_frames
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize plumbing: non-images pruned before the
+    Arrow exchange; fake path computes REAL fit-within geometry from the
+    fake-decode dims — fully replayed by the DuckDB oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    return resize_images(synthesize_media(docs), target=(96, 96), fake=True)
+
+
+SQL_MEDIA_RESIZE = """
+WITH m AS (
+    SELECT doc_id AS media_id, md5(text) AS content_hash
+    FROM documents WHERE doc_id % 3 = 0
+),
+h AS (SELECT *, CAST(concat('0x', substring(content_hash, 1, 2)) AS BIGINT) AS h0 FROM m),
+d AS (SELECT media_id, content_hash, 64 + (h0 % 64) AS w, 64 + (h0 % 48) AS h FROM h),
+s AS (SELECT *, least(96.0 / w, 96.0 / h, 1.0) AS sc FROM d)
+SELECT media_id,
+       CAST(96 AS INTEGER) AS target_w,
+       CAST(96 AS INTEGER) AS target_h,
+       CAST(floor(w * sc) AS INTEGER) AS out_w,
+       CAST(floor(h * sc) AS INTEGER) AS out_h,
+       round(sc, 6) AS scale,
+       md5(concat(content_hash, ':96x96')) AS resized_hash
+FROM s
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: 1→N row expansion inside mapInPandas (videos
+    only reach the Arrow exchange); frame count/timestamps/hashes are
+    deterministic arithmetic the oracle replays."""
+    docs = _read(spark, sf_dir, "documents")
+    return sample_frames(synthesize_media(docs), fps=1.0, max_frames=16, fake=True)
+
+
+SQL_MEDIA_FRAMES = """
+WITH v AS (
+    SELECT doc_id AS media_id, md5(text) AS content_hash,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 2
+),
+n AS (
+    SELECT *, least(CAST(floor(n_bytes / 1000.0 * 1.0) AS BIGINT) + 1, 16) AS n_frames FROM v
+),
+f AS (
+    SELECT media_id, content_hash,
+           unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS i
+    FROM n
+)
+SELECT media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       round(i / 1.0, 6) AS frame_ts_s,
+       md5(concat(content_hash, ':', CAST(i AS VARCHAR))) AS frame_hash
+FROM f
+"""
+
+
+_B10_QUERIES = {"media_resize_images": q_media_resize, "media_sample_frames": q_media_frames}
+_B10_ORACLES = {"media_resize_images": SQL_MEDIA_RESIZE, "media_sample_frames": SQL_MEDIA_FRAMES}
+
+_B9_QUERIES_FN = queries
+_B9_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B9_QUERIES_FN()
+    out.update(_B10_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B9_ORACLES_FN()
+    out.update(_B10_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 11 (round 2): winnowing fingerprints (rolling-hash copy detection)
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.text_dedup import winnow_fingerprints
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document (k=5 grams, window=4): the
+    rolling-hash copy-detection index — any ≥8-char shared substring shares a
+    fingerprint; table is ~1/4 the k-gram stream."""
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
+_WINNOW_HASH = "CAST(concat('0x', substring(md5(concat('31:', substring(norm, pos, 5))), 1, 15)) AS BIGINT)"
+
+SQL_DOC_WINNOW = rf"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+ph AS (
+    SELECT doc_id, pos, {_WINNOW_HASH} AS h
+    FROM (SELECT doc_id, norm,
+                 unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS pos
+          FROM norm)
+),
+wm AS (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+    FROM ph
+)
+SELECT DISTINCT doc_id, wmin AS fingerprint
+FROM wm
+WHERE pos <= n - 3
+"""
+
+_B11_QUERIES = {"doc_winnow_fingerprints": q_doc_winnow}
+_B11_ORACLES = {"doc_winnow_fingerprints": SQL_DOC_WINNOW}
+
+_B10_QUERIES_FN = queries
+_B10_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B10_QUERIES_FN()
+    out.update(_B11_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B10_ORACLES_FN()
+    out.update(_B11_ORACLES)
+    return out

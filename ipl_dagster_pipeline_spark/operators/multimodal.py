@@ -115,6 +115,115 @@ def decode_media(media: DataFrame, fake: bool = True, batch_note: str = "decode"
     return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("target_w", T.IntegerType(), False),
+        T.StructField("target_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("scale", T.DoubleType(), True),
+        T.StructField("resized_hash", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target: tuple[int, int] = (224, 224), fake: bool = True) -> DataFrame:
+    """Aspect-preserving image resize via Arrow ``mapInPandas`` (image rows
+    only — non-images are filtered BEFORE the Python stage so the Arrow
+    exchange never carries bytes it won't use).
+
+    The real pixel path is the declared codec stub; ``fake=True`` computes the
+    REAL resize geometry (fit-within scale, output dims) from the fake-decode
+    dimensions and a deterministic content hash — all integer/md5 arithmetic a
+    SQL oracle can replay.
+    """
+    tw, th = target
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize needs a codec library; install PIL and replace this branch"
+                )
+            digest = pdf["payload"].map(
+                lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+            )
+            h0 = digest.map(lambda d: int(d[:2], 16) if d else 0)
+            w = 64 + (h0 % 64)
+            h = 64 + (h0 % 48)
+            # fit-within scale, never upscale: scale = min(tw/w, th/h, 1)
+            scale = pd.concat([tw / w, th / h], axis=1).min(axis=1).clip(upper=1.0)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": tw,
+                    "target_h": th,
+                    "out_w": (w * scale).astype("int64").astype("int32"),
+                    "out_h": (h * scale).astype("int64").astype("int32"),
+                    "scale": scale.round(6),
+                    "resized_hash": (digest + f":{tw}x{th}").map(
+                        lambda s: hashlib.md5(s.encode()).hexdigest() if s else None
+                    ),
+                }
+            )
+            yield out
+
+    images = media.filter(F.col("media_type") == "image")
+    return images.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_s", T.DoubleType(), True),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 16, fake: bool = True) -> DataFrame:
+    """Sample frames from video rows at ``fps`` via Arrow ``mapInPandas`` —
+    one OUTPUT ROW PER FRAME (the iterator-of-batches contract allows 1→N
+    expansion without materializing the partition).
+
+    Frame count = min(floor(fake duration · fps) + 1, max_frames); frame
+    timestamps are i/fps; the fake frame hash is md5(content_hash:i) —
+    deterministic arithmetic the SQL oracle replays exactly.  Non-video rows
+    are pruned before the Arrow exchange.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling needs a video codec; install pyav/ffmpeg and replace this branch"
+                )
+            rows = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame_hash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.md5(payload).hexdigest() if payload is not None else None
+                duration = (len(payload) if payload is not None else 0) / 1000.0
+                n = min(int(duration * fps) + 1, max_frames)
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_s"].append(round(i / fps, 6))
+                    rows["frame_hash"].append(
+                        hashlib.md5(f"{digest}:{i}".encode()).hexdigest() if digest else None
+                    )
+            yield pd.DataFrame(rows).astype(
+                {"media_id": "int64", "frame_idx": "int32", "frame_ts_s": "float64"}
+            )
+
+    videos = media.filter(F.col("media_type") == "video")
+    return videos.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def latest_media_per_source(media: DataFrame) -> DataFrame:
     """A3 parity: latest media per (source, media_type) by captured_ts —
     max_by, no self-join (reference: latest webcam image probe)."""

@@ -208,6 +208,53 @@ def minhash_lsh_dedup(
     return jaccard_pairs(cand, sh, id_col, threshold)
 
 
+def positional_kgram_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5, seed: int = 31
+) -> DataFrame:
+    """(doc, pos, h): portable hash of the k-gram at every 1-based position of
+    the normalized text (NOT distinct — winnowing needs the position stream)."""
+    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
+    return norm.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+        "norm",
+    ).select(id_col, "pos", portable_hash(F.expr(f"substring(norm, pos, {k})"), seed).alias("h"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): the
+    DISTINCT set of per-window minima over the rolling k-gram hash stream —
+    guaranteed to share fingerprints with any copy that overlaps by at least
+    ``window + k - 1`` characters, and ~1/window the size of the full stream.
+
+    One window pass over (doc, pos) + a distinct — the fingerprint table is
+    the join key for copy detection at corpus scale (equi-join on
+    (fingerprint), same shape as the MinHash band bucket join).
+    """
+    from pyspark.sql import Window as W
+
+    ph = positional_kgram_hashes(docs, id_col, text_col, k)
+    n_pos = W.partitionBy(id_col)
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        ph.withColumn("__n", F.count(F.lit(1)).over(n_pos))
+        .withColumn("wmin", F.min("h").over(w))
+        # only FULL windows select fingerprints (positions beyond n-w+1 see a
+        # truncated frame and would over-select tail hashes)
+        .filter(F.col("pos") <= F.col("__n") - (window - 1))
+        .select(id_col, F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct word tokens: bit b of the signature is
     the sign of sum(±1) of token-hash bit b."""

@@ -212,3 +212,50 @@ def test_ivf_topk_recall_and_subset(emb):
     ann1 = ann.set_index(["query_id", "rnk"]).cos
     common = bf1.index.intersection(ann1.index)
     assert (ann1[common] <= bf1[common] + 1e-9).all()
+
+
+def test_media_resize_and_frame_sample_plumbing(docs):
+    from ipl_dagster_pipeline_spark.operators.multimodal import resize_images, sample_frames
+
+    media = synthesize_media(docs)
+    resized = resize_images(media, target=(96, 96), fake=True).toPandas()
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(resized) == n_images  # non-images never reach the Arrow stage
+    assert (resized.out_w <= 96).all() and (resized.out_h <= 96).all()
+    assert (resized.scale <= 1.0).all() and (resized.scale > 0).all()  # never upscale
+    # aspect preserved within integer truncation: out_w/out_h ≈ w/h
+    frames = sample_frames(media, fps=1.0, max_frames=16, fake=True).toPandas()
+    n_videos = media.filter("media_type = 'video'").count()
+    assert frames.media_id.nunique() == n_videos
+    per = frames.groupby("media_id").frame_idx.agg(["min", "max", "count"])
+    assert (per["min"] == 0).all()
+    assert (per["max"] == per["count"] - 1).all()  # contiguous 0..n-1
+    assert (per["count"] <= 16).all()
+    # real codec paths stay stubbed
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_images(media, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        sample_frames(media, fake=False).collect()
+
+
+def test_winnow_fingerprints_detect_shared_substrings(spark, docs):
+    """Winnowing guarantee: a mutated copy (one word appended) shares almost
+    all fingerprints with the original; an unrelated doc shares few."""
+    from ipl_dagster_pipeline_spark.operators.text_dedup import winnow_fingerprints
+
+    mutated = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    fp = winnow_fingerprints(docs.filter("doc_id IN (0, 1)").unionByName(mutated)).toPandas()
+    sets = {d: set(g.fingerprint) for d, g in fp.groupby("doc_id")}
+    orig, mut, other = sets[0], sets[400000], sets[1]
+    overlap_mut = len(orig & mut) / len(orig)
+    overlap_other = len(orig & other) / len(orig)
+    assert overlap_mut > 0.9, overlap_mut
+    assert overlap_other < overlap_mut
+    # density: ~1/window of the k-gram stream, never empty
+    assert all(len(s) > 0 for s in sets.values())
