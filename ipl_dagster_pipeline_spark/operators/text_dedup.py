@@ -193,6 +193,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
+    storage_level=None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
     Jaccard verification of candidates → pairs ≥ threshold.
@@ -201,8 +202,15 @@ def minhash_lsh_dedup(
     Jaccard verification THREE more times (two sides of the intersection
     join + the per-doc counts) — without the persist the whole
     normalize→explode→distinct lineage re-runs per consumer (round-1 bench:
-    14.6 s at sf0.1; single-pass target ≤5 s)."""
-    sh = shingles(docs, id_col, text_col, k).persist()
+    14.6 s at sf0.1; single-pass target ≤5 s).
+
+    ``storage_level``: the shingle stream is ~|text| rows; at 100 TB pass
+    ``StorageLevel.DISK_ONLY`` (or point spark.local.dir at fast scratch) —
+    the default MEMORY_AND_DISK trades executor RAM for the 4× recompute."""
+    from pyspark import StorageLevel
+
+    level = storage_level or StorageLevel.MEMORY_AND_DISK
+    sh = shingles(docs, id_col, text_col, k).persist(level)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sig, id_col)
     return jaccard_pairs(cand, sh, id_col, threshold)

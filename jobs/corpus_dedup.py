@@ -1,0 +1,83 @@
+"""spark-submit entrypoint: end-to-end training-corpus curation.
+
+    spark-submit --py-files ipl_dagster_pipeline_spark.zip jobs/corpus_dedup.py \
+        --input /root/testdata/sf0.01 --output /tmp/ipl_corpus [--force]
+
+Checkpointed stages (atomic snapshot commit + lineage per stage; rerun = resume):
+
+    stats      token counts + quality scores + language ID per doc
+    exact      exact-dup groups (md5 fingerprint, keep-min-id)
+    pairs      MinHash-LSH near-dup candidate pairs, Jaccard-verified
+    groups     connected components over the pair graph → (member, keeper)
+    curated    keeper docs only, quality-filtered, with a deterministic
+               train/val/test fold — the publishable training corpus
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from ipl_dagster_pipeline_spark.checkpoint import CheckpointedPipeline
+from ipl_dagster_pipeline_spark.metrics import total_from_lineage
+from ipl_dagster_pipeline_spark.operators.graph import duplicate_groups
+from ipl_dagster_pipeline_spark.operators.sampling import hash_split
+from ipl_dagster_pipeline_spark.operators.text_dedup import exact_dedup, minhash_lsh_dedup
+from ipl_dagster_pipeline_spark.operators.textstats import (
+    with_lang_id,
+    with_quality_scores,
+    with_token_counts,
+)
+from ipl_dagster_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.01")
+    ap.add_argument("--output", default="/tmp/ipl_corpus")
+    ap.add_argument("--force", action="store_true", help="recompute all stages")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--min-alpha-ratio", type=float, default=0.5)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ipl-corpus-dedup")
+    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
+    pipe = CheckpointedPipeline(spark, args.output, force=args.force)
+
+    stats = pipe.stage(
+        "stats", lambda: with_lang_id(with_quality_scores(with_token_counts(docs)))
+    )
+    exact = pipe.stage("exact", lambda: exact_dedup(docs))
+    pairs = pipe.stage("pairs", lambda: minhash_lsh_dedup(docs, threshold=args.jaccard))
+    groups = pipe.stage("groups", lambda: duplicate_groups(pairs))
+
+    def _curate():
+        # exact keepers: one doc per fingerprint group
+        exact_keepers = exact.select(F.col("keep_id").alias("doc_id"))
+        # near-dup drop list: every non-keeper component member
+        near_drops = groups.filter(~F.col("is_keeper")).select(
+            F.col("member").alias("doc_id")
+        )
+        kept = (
+            stats.join(exact_keepers, "doc_id", "left_semi")
+            .join(near_drops, "doc_id", "left_anti")
+            .filter(F.col("alpha_ratio") >= args.min_alpha_ratio)
+        )
+        return hash_split(kept, "doc_id")
+
+    curated = pipe.stage("curated", _curate)
+
+    for stage in pipe.completed_stages():
+        rows, checksum = total_from_lineage(spark, pipe.lineage_path, stage)
+        print(f"stage={stage} rows={rows} checksum={checksum}")
+    folds = {r["split"]: r["n"] for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(f"curated corpus folds: {folds}")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,16 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, small_transcripts, tmp
     after = spark.read.parquet(path).count()
     assert after == before
     assert len([d for d in os.listdir(path) if d.startswith("day=")]) > 1
+
+
+def test_identifier_safety_guard():
+    """K5: unsafe identifiers must be rejected before any DDL-ish use
+    (reference _assert_sql_safety, postgis_geopandas_io_manager.py:62-69)."""
+    import pytest
+
+    from ipl_dagster_pipeline_spark.schema import assert_identifier_safety
+
+    assert_identifier_safety("features", "conv_id", "_private")  # all fine
+    for bad in ("drop table", "a-b", "1abc", "x;--", "", "täble"):
+        with pytest.raises(ValueError, match="unsafe identifier"):
+            assert_identifier_safety(bad)
