@@ -87,3 +87,36 @@ def test_asof_property(spark, rows, dim_offsets):
     for r in exp.itertuples():
         g = got_map[(r.conv_id, r.turn_idx)]
         assert (pd.isna(g) and pd.isna(r.w)) or g == r.w
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed hash-to-min label propagation == sequential union-find on
+    arbitrary random graphs (self-loops excluded)."""
+    from ipl_dagster_pipeline_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.v: r.comp for r in connected_components(df, max_rounds=40).collect()}
+    assert got == expected
