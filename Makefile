@@ -14,3 +14,10 @@ scaling:
 
 job:
 	python jobs/feature_build.py --input /root/testdata/sf0.01 --output /tmp/ipl_feature_build
+
+corpus:
+	python jobs/corpus_dedup.py --input /root/testdata/sf0.01 --output /tmp/ipl_corpus
+
+pyfiles:
+	cd $(CURDIR) && zip -qr /tmp/ipl_dagster_pipeline_spark.zip ipl_dagster_pipeline_spark -x '*__pycache__*'
+	@echo "spark-submit --py-files /tmp/ipl_dagster_pipeline_spark.zip jobs/feature_build.py ..."

@@ -1880,3 +1880,179 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B10_ORACLES_FN()
     out.update(_B11_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 12 (round 2): corpus-cleaning stages — repetition collapse, quality
+# gate, PII redaction, benchmark decontamination
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.cleaning import (
+    collapse_adjacent_repeats,
+    contamination_flags,
+    quality_gate,
+    redact_pii,
+)
+
+
+def q_doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: adjacent duplicate tokens collapse
+    ('a a the' -> 'a the'); order-preserving reassembly via sorted struct
+    array (deterministic under any parallelism)."""
+    docs = _read(spark, sf_dir, "documents")
+    return collapse_adjacent_repeats(docs).select("doc_id", "text_clean")
+
+
+SQL_COLLAPSE_REPEATS = r"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+),
+toks AS (
+    SELECT doc_id, i, ws[i] AS w
+    FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM norm),
+         (SELECT unnest(generate_series(1, len(ws))) AS i)
+),
+kept AS (
+    SELECT doc_id, i, w, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM toks
+)
+SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text_clean
+FROM kept
+WHERE prev IS NULL OR w <> prev
+GROUP BY doc_id
+"""
+
+
+def q_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule flags + pass verdict over the textstats metrics."""
+    docs = _read(spark, sf_dir, "documents")
+    gated = quality_gate(with_quality_scores(with_token_counts(docs)))
+    return gated.select(
+        "doc_id",
+        "flag_too_short",
+        "flag_too_long",
+        "flag_low_alpha",
+        "flag_high_punct",
+        "flag_word_len",
+        "passes_quality",
+    )
+
+
+SQL_QUALITY_GATE = r"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+           round(length(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1.0), 6) AS alpha_ratio,
+           round(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / greatest(length(text), 1.0), 6) AS punct_ratio,
+           round(length(regexp_extract_all(text, '[A-Za-z]'))
+                 / greatest(length(regexp_extract_all(text, '\S+')), 1.0), 6) AS mean_word_len
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           n_ws_tokens < 10 AS flag_too_short,
+           n_ws_tokens > 100000 AS flag_too_long,
+           alpha_ratio < 0.5 AS flag_low_alpha,
+           punct_ratio > 0.2 AS flag_high_punct,
+           (mean_word_len < 2.0 OR mean_word_len > 12.0) AS flag_word_len
+    FROM s
+)
+SELECT *,
+       NOT (flag_too_short OR flag_too_long OR flag_low_alpha OR flag_high_punct OR flag_word_len)
+           AS passes_quality
+FROM f
+"""
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction on deterministically-injected synthetic PII (the corpus
+    itself is PII-free): email, IP, phone -> typed placeholders via chained
+    RE2-compatible regexp_replace (global on both engines)."""
+    docs = _read(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.select("doc_id", redact_pii(dirty).alias("redacted"))
+
+
+SQL_PII_REDACT = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                  '@example.com or +1 555-01', CAST(doc_id % 100 AS VARCHAR),
+                  ' from 192.168.', CAST(doc_id % 256 AS VARCHAR), '.7') AS t
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d .-]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM dirty
+"""
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination probe: corpus docs sharing any 30-char-gram
+    hash with the benchmark set (doc_id < 20) are flagged.  Benchmark grams
+    broadcast; probe is a distinct-hash semi-join."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    return contamination_flags(docs, bench, k=30)
+
+
+SQL_CONTAMINATION = r"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           CAST(concat('0x', substring(md5(concat('77:', substring(norm, i, 30))), 1, 15)) AS BIGINT) AS gh
+    FROM (SELECT doc_id, norm,
+                 unnest(generate_series(1, greatest(length(norm) - 29, 1))) AS i
+          FROM norm)
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 20),
+hits AS (
+    SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.gh = b.gh
+)
+SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+_B12_QUERIES = {
+    "doc_collapse_repeats": q_doc_collapse_repeats,
+    "doc_quality_gate": q_doc_quality_gate,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_contamination": q_doc_contamination,
+}
+_B12_ORACLES = {
+    "doc_collapse_repeats": SQL_COLLAPSE_REPEATS,
+    "doc_quality_gate": SQL_QUALITY_GATE,
+    "doc_pii_redact": SQL_PII_REDACT,
+    "doc_contamination": SQL_CONTAMINATION,
+}
+
+_B11_QUERIES_FN = queries
+_B11_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B11_QUERIES_FN()
+    out.update(_B12_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B11_ORACLES_FN()
+    out.update(_B12_ORACLES)
+    return out
