@@ -1407,7 +1407,11 @@ from ipl_dagster_pipeline_spark.operators.similarity import (
 # hyperplane buckets (sign literals generated from the same hyperplane_signs),
 # so this approximate operator still gets a full value-hash gate.
 
-_ND_PLANES, _ND_TABLES, _ND_DIM, _ND_THRESH = 4, 8, 64, 0.4
+# n_planes tracks log2(corpus/target-bucket): 6 planes = 64 buckets/table
+# keeps candidate blocks bounded at both gate SFs (4 planes degraded toward
+# brute force at sf0.1's 2000 vectors: 20s -> ~8s).  The DuckDB oracle is
+# GENERATED from these constants, so it always replays the same buckets.
+_ND_PLANES, _ND_TABLES, _ND_DIM, _ND_THRESH = 6, 8, 64, 0.4
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

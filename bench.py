@@ -38,6 +38,19 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
+# round-2 training-data scale paths — timed separately (steady-state, one
+# run after a warm pass) so the headline `value` stays comparable to round 1
+EXTENDED = [
+    "emb_near_dup_lsh",
+    "emb_dup_components",
+    "emb_ivf_topk",
+    "doc_winnow_fingerprints",
+    "doc_collapse_repeats",
+    "doc_contamination",
+    "doc_hash_split",
+    "media_sample_frames",
+]
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -67,6 +80,13 @@ def main() -> None:
         force(qs[name](spark, sf_dir))
         steady[name] = round(time.perf_counter() - t0, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        force(qs[name](spark, sf_dir))  # codegen warm pass (uncounted)
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     flag = timings.get("flagship_features") or 1e-9
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -79,6 +99,7 @@ def main() -> None:
                 "queries": timings,
                 "value_steady": round(sum(steady.values()), 3),
                 "queries_steady": steady,
+                "queries_extended_steady": extended,
                 "timing": "queries = first (cold, incl. codegen warmup; round-1-comparable); queries_steady = second run",
                 "sf": float(sf),
                 "turns": n_turns,
