@@ -1417,7 +1417,8 @@ _ND_PLANES, _ND_TABLES, _ND_DIM, _ND_THRESH = 6, 8, 64, 0.4
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return near_dup_pairs_lsh(
-        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_tables=_ND_TABLES, dim=_ND_DIM
+        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_tables=_ND_TABLES, dim=_ND_DIM,
+        max_bucket=_ND_MAXB,
     )
 
 
@@ -1430,8 +1431,13 @@ def _nd_bucket_sql(t: int) -> str:
     return " + ".join(terms)
 
 
-_ND_BANDS_SQL = "\n    UNION ALL\n    ".join(
-    f"SELECT vec_id, {t} AS tbl, {_nd_bucket_sql(t)} AS bucket FROM v" for t in range(_ND_TABLES)
+_ND_MAXB = 100_000  # oversized-bucket cap (no-op at gate SFs; mirrors the operator)
+_ND_BANDS_SQL = (
+    "SELECT * FROM (\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS tbl, {_nd_bucket_sql(t)} AS bucket FROM v" for t in range(_ND_TABLES)
+    )
+    + f"\n    ) QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {_ND_MAXB}"
 )
 _ND_COS = (
     "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
@@ -1614,7 +1620,8 @@ def q_emb_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative distributed algorithm with a full value-hash gate."""
     emb = _read(spark, sf_dir, "embeddings")
     pairs = near_dup_pairs_lsh(
-        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_tables=_ND_TABLES, dim=_ND_DIM
+        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_tables=_ND_TABLES, dim=_ND_DIM,
+        max_bucket=_ND_MAXB,
     )
     return duplicate_groups(pairs, left="vec_a", right="vec_b")
 

@@ -270,6 +270,7 @@ def near_dup_pairs_lsh(
     n_planes: int = 4,
     n_tables: int = 8,
     dim: int = 64,
+    max_bucket: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -280,13 +281,25 @@ def near_dup_pairs_lsh(
     per vector; candidates are an EQUI self-join on (tbl, bucket) (never a
     theta/cross join); the exact re-rank joins vectors back by id only for
     surviving candidate pairs.  The bucket frame is persisted so the self-join
-    does not recompute the projection lineage per side.
+    does not recompute the projection lineage per side.  Buckets above
+    ``max_bucket`` are dropped (a degenerate direction cluster would emit B²
+    pairs) — same silent-cap honesty rule as text_dedup.lsh_candidates; the
+    count window rides the self-join's own (tbl, bucket) shuffle.
 
     Approximation is one-sided: output ⊆ the exact pair set (recall measured
     in tests; raise ``n_tables`` to raise recall, ``n_planes`` with log2(N)).
     """
+    from pyspark.sql import Window
+
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col).persist()
+    buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col)
+    wb = Window.partitionBy("tbl", "bucket")
+    buckets = (
+        buckets.withColumn("__bsize", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsize") <= max_bucket)
+        .drop("__bsize")
+        .persist()
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
