@@ -23,8 +23,15 @@ GRANULARITY = 10_000
 
 
 def split_bucket(key: Column, seed: int = 7, granularity: int = GRANULARITY) -> Column:
-    """Deterministic bucket in [0, granularity) from the portable hash."""
-    return F.pmod(portable_hash(key.cast("string"), seed), F.lit(granularity))
+    """Deterministic bucket in [0, granularity) from the portable hash.
+
+    Null keys hash as the sentinel string ``<null>`` (not SQL-null): every
+    null-keyed row lands deterministically in ONE fold instead of getting a
+    null assignment that silently falls out of every split."""
+    return F.pmod(
+        portable_hash(F.coalesce(key.cast("string"), F.lit("<null>")), seed),
+        F.lit(granularity),
+    )
 
 
 def hash_split(
