@@ -135,3 +135,27 @@ def test_identifier_safety_guard():
     for bad in ("drop table", "a-b", "1abc", "x;--", "", "täble"):
         with pytest.raises(ValueError, match="unsafe identifier"):
             assert_identifier_safety(bad)
+
+
+def test_driver_contract_consistency():
+    """Every oracle key maps to a query; the only rows-only queries are the
+    two approximate ANN paths (which carry in-row invariants instead)."""
+    import __spark_entry__ as em
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    assert set(qs) - set(oracles) == {"emb_lsh_topk", "emb_ivf_topk"}
+    assert len(qs) == 60 and len(oracles) == 58
+
+
+def test_no_per_row_python_udfs():
+    """North rule: vectorized pandas/Arrow UDFs only — no row-at-a-time
+    Python UDFs anywhere in the engine or the driver contract."""
+    import pathlib
+
+    roots = [pathlib.Path("ipl_dagster_pipeline_spark"), pathlib.Path("__spark_entry__.py")]
+    files = [p for r in roots for p in ([r] if r.is_file() else r.rglob("*.py"))]
+    assert files
+    for f in files:
+        t = f.read_text()
+        assert "F.udf(" not in t and "@F.udf" not in t and "udf.register" not in t, f
