@@ -120,3 +120,53 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.v: r.comp for r in connected_components(df, max_rounds=40).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=transcript_rows(),
+    dim_rows=st.lists(
+        st.tuples(
+            st.sampled_from(["search", "code"]),
+            st.integers(-3600, 90000),
+            st.sampled_from([None, "a", "b"]),  # NULLABLE dim value column
+            st.sampled_from([None, 1.5, 2.5]),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_strategies_agree_with_null_dim_values(spark, rows, dim_rows):
+    """All three general as-of strategies must return the MATCHED ROW
+    atomically — a newer snapshot's NULL value column must not be backfilled
+    by an older snapshot (the round-1 per-column-fill divergence)."""
+    from ipl_dagster_pipeline_spark.operators.asof import (
+        asof_join_broadcast_range,
+        asof_join_cogrouped,
+        asof_join_union_fill,
+    )
+
+    facts = _spark_df(spark, rows)
+    dim = spark.createDataFrame(
+        [
+            (t, (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=o)).to_pydatetime(), c, w)
+            for t, o, c, w in dim_rows
+        ],
+        "tool string, effective_from timestamp, cat string, w double",
+    )
+
+    def key(df):
+        pdf = df.toPandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        def norm(x):
+            return None if (x is None or (isinstance(x, float) and pd.isna(x)) or x is pd.NaT) else x
+
+        return [
+            (r.conv_id, r.turn_idx, norm(r.cat), norm(r.w), norm(r.matched_effective_from))
+            for r in pdf.itertuples()
+        ]
+
+    a = key(asof_join_union_fill(facts, dim, key="tool"))
+    b = key(asof_join_cogrouped(facts, dim, key="tool"))
+    c = key(asof_join_broadcast_range(facts, dim, key="tool"))
+    assert a == b == c
