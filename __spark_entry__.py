@@ -2067,3 +2067,63 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B11_ORACLES_FN()
     out.update(_B12_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 13 (round 2): sequence packing (concat-and-chunk) on a distributed
+# global prefix sum
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.packing import pack_sequences
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing manifest at seq_len=512: each doc's interval in the
+    concatenated whitespace-token stream + chunk span.  The global running
+    offset uses the two-phase distributed prefix sum (never a
+    single-partition window)."""
+    docs = _read(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(with_counts, seq_len=512)
+
+
+SQL_PACK = r"""
+WITH t AS (
+    SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT *, CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS tok_start,
+       cum AS tok_end,
+       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS first_chunk,
+       CAST(floor((cum - 1) / 512) AS BIGINT) AS last_chunk,
+       CAST(floor((cum - 1) / 512) - floor((cum - n_tokens) / 512) + 1 AS BIGINT) AS n_chunks_spanned
+FROM c
+"""
+
+_B13_QUERIES = {"doc_pack_sequences": q_doc_pack_sequences}
+_B13_ORACLES = {"doc_pack_sequences": SQL_PACK}
+
+_B12_QUERIES_FN = queries
+_B12_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B12_QUERIES_FN()
+    out.update(_B13_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B12_ORACLES_FN()
+    out.update(_B13_ORACLES)
+    return out

@@ -59,3 +59,49 @@ def test_hash_split_validates_fractions(spark):
     df = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "k", fractions={"a": 0.5, "b": 0.6})
+
+
+def test_global_cumsum_matches_single_partition(spark):
+    """Two-phase distributed prefix sum == the naive global window, at any
+    partitioning, including many partitions of skewed sizes."""
+    from pyspark.sql import Window
+
+    from ipl_dagster_pipeline_spark.operators.packing import with_global_cumsum
+
+    df = (
+        spark.range(0, 5000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") % 37 + 1).cast("long"))
+        .repartition(23)  # deliberately scrambled input layout
+    )
+    got = {
+        r.k: r.cumsum
+        for r in with_global_cumsum(df, "k", "v", n_partitions=13).collect()
+    }
+    exp = {
+        r.k: r.c
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_pack_sequences_intervals_are_contiguous(spark):
+    from ipl_dagster_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, (i * 131) % 700 + 1) for i in range(200)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(df, seq_len=512).orderBy("doc_id").collect()
+    # intervals tile the stream exactly: start_i == end_{i-1}, width == n_tokens
+    prev_end = 0
+    for r in out:
+        assert r.tok_start == prev_end
+        assert r.tok_end - r.tok_start == r.n_tokens
+        assert r.first_chunk == r.tok_start // 512
+        assert r.last_chunk == (r.tok_end - 1) // 512
+        prev_end = r.tok_end
