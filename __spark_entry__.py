@@ -2127,3 +2127,131 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B12_ORACLES_FN()
     out.update(_B13_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 14 (round 2): the incident-transform chain as one oracle-gated query
+# (P6 pattern predicates, F4 lane validation, F10 conditional derivation,
+# J3 managed-cause anti-join, J4 gegen-sibling existence probe)
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.functions.incidents import (
+    detect_direction,
+    drop_managed_causes,
+    incident_subtype,
+    incident_type,
+    skip_gegen_records,
+)
+
+_LANES = ["s1", "x1", "1x", "u2w", "1", "zz"]  # + NULL slot
+_ITYPES = ["constructionWork", "roadClosed", "repairWork", "other"]
+
+
+def q_incident_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference transform chain on a deterministic synthetic incident
+    table derived from events: sibling-gegen direction detection → gegen-row
+    skip → managed-cause anti-join → type/subtype mapping — every rule from
+    cifs.py re-expressed and value-hash-gated."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(
+            ev.event_id % 5 == 0,
+            F.concat(F.lit("inc-"), ev.event_id.cast("string"), F.lit("-sperrung")),
+        )
+        .when(
+            ev.event_id % 5 == 1,
+            F.concat(F.lit("inc-"), (ev.event_id - 1).cast("string"), F.lit("-gegen-sperrung")),
+        )
+        .otherwise(F.concat(F.lit("inc-"), ev.event_id.cast("string")))
+        .alias("id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _LANES], F.lit(None).cast("string")),
+            (ev.event_id % 7 + 1).cast("int"),
+        ).alias("lane_status"),
+        F.when(
+            ev.event_id % 11 == 0, F.concat(F.lit("inc-"), (ev.event_id + 2).cast("string"))
+        ).alias("cause_ref"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _ITYPES]), (ev.event_id % 4 + 1).cast("int")
+        ).alias("itype"),
+    )
+    d = detect_direction(base)
+    d = skip_gegen_records(d)
+    d = drop_managed_causes(d)
+    mapped = incident_type(F.col("itype"))
+    return d.select(
+        "id",
+        "lane_status",
+        "direction",
+        mapped.alias("itype_mapped"),
+        incident_subtype(mapped).alias("isubtype"),
+    )
+
+
+SQL_INCIDENTS = r"""
+WITH base AS (
+    SELECT CASE WHEN event_id % 5 = 0 THEN 'inc-' || CAST(event_id AS VARCHAR) || '-sperrung'
+                WHEN event_id % 5 = 1 THEN 'inc-' || CAST(event_id - 1 AS VARCHAR) || '-gegen-sperrung'
+                ELSE 'inc-' || CAST(event_id AS VARCHAR) END AS id,
+           (['s1', 'x1', '1x', 'u2w', '1', 'zz', NULL])[(event_id % 7) + 1] AS lane_status,
+           CASE WHEN event_id % 11 = 0 THEN 'inc-' || CAST(event_id + 2 AS VARCHAR) END AS cause_ref,
+           (['constructionWork', 'roadClosed', 'repairWork', 'other'])[(event_id % 4) + 1] AS itype
+    FROM events
+),
+gegen AS (
+    SELECT DISTINCT regexp_replace(id, '-gegen-', '-') AS sib FROM base WHERE id LIKE '%-gegen-%'
+),
+dirs AS (
+    SELECT b.*, g.sib IS NOT NULL AS has_gegen
+    FROM base b LEFT JOIN gegen g ON b.id = g.sib
+),
+d2 AS (
+    SELECT *,
+        CASE WHEN id LIKE '%-sperrung' AND id NOT LIKE '%-gegen-%'
+             THEN CASE WHEN has_gegen THEN 'BOTH_DIRECTIONS' ELSE 'ONE_DIRECTION' END
+             WHEN lane_status IS NOT NULL
+                  AND regexp_matches(lane_status, '^([sxui]*l?)?[suioewx]*(1|2)[suioewx]*(r?[xsoe]*)?$')
+             THEN CASE WHEN (length(regexp_extract(lane_status, '^([^12]*)', 1)) > 0
+                             AND length(regexp_replace(regexp_extract(lane_status, '^([^12]*)', 1),
+                                                       '[usl]', '', 'g')) > 0)
+                            OR length(regexp_replace(regexp_extract(lane_status, '^[^12]*[12]([^12]*)', 1),
+                                                     '[^uiw]', '', 'g')) > 0
+                  THEN 'BOTH_DIRECTIONS' ELSE 'ONE_DIRECTION' END
+             ELSE 'BOTH_DIRECTIONS' END AS direction
+    FROM dirs
+),
+nogegen AS (
+    SELECT * FROM d2 WHERE id NOT LIKE '%-gegen%'
+),
+filtered AS (
+    -- managed causes come from the post-gegen-skip frame (pipeline order)
+    SELECT * FROM nogegen
+    WHERE id NOT IN (SELECT DISTINCT cause_ref FROM nogegen WHERE cause_ref IS NOT NULL)
+)
+SELECT id, lane_status, direction,
+       CASE WHEN itype IN ('constructionWork', 'newRoadworksLayout', 'repairWork') THEN 'CONSTRUCTION'
+            WHEN itype = 'roadClosed' THEN 'ROAD_CLOSED'
+            ELSE 'CONSTRUCTION' END AS itype_mapped,
+       CASE WHEN (CASE WHEN itype IN ('constructionWork', 'newRoadworksLayout', 'repairWork') THEN 'CONSTRUCTION'
+                       WHEN itype = 'roadClosed' THEN 'ROAD_CLOSED'
+                       ELSE 'CONSTRUCTION' END) = 'ROAD_CLOSED'
+            THEN 'ROAD_CLOSED_CONSTRUCTION' ELSE '' END AS isubtype
+FROM filtered
+"""
+
+_B14_QUERIES = {"incident_pipeline": q_incident_pipeline}
+_B14_ORACLES = {"incident_pipeline": SQL_INCIDENTS}
+
+_B13_QUERIES_FN = queries
+_B13_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B13_QUERIES_FN()
+    out.update(_B14_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B13_ORACLES_FN()
+    out.update(_B14_ORACLES)
+    return out
