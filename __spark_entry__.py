@@ -2255,3 +2255,62 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B13_ORACLES_FN()
     out.update(_B14_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 15 (round 2): S3/A5 — nested-array normalize with injected default
+# record, oracle-gated
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.relational import explode_json_records
+
+
+def q_explode_default_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/A5: explode a nested record array to one row per element with parent
+    meta propagated; docs with an EMPTY array (doc_id % 10 == 0) get the
+    injected default record (reference: default vehicle-type record,
+    lamassu.py:253-259)."""
+    docs = _read(spark, sf_dir, "documents")
+    arr = F.when(
+        F.col("doc_id") % 10 == 0, F.array().cast("array<struct<w:string,l:int>>")
+    ).otherwise(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.struct(w.alias("w"), F.length(w).cast("int").alias("l")),
+        )
+    )
+    default = F.struct(F.lit("none").alias("w"), F.lit(0).cast("int").alias("l"))
+    out = explode_json_records(
+        docs.withColumn("recs", arr), "recs", meta_cols=["doc_id"], default_record=default
+    )
+    return out.select("doc_id", "w", "l")
+
+
+SQL_EXPLODE_DEFAULT = """
+WITH a AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN [{'w': 'none', 'l': 0}]
+                ELSE list_transform(string_split(text, ' '),
+                                    w -> {'w': w, 'l': CAST(length(w) AS INTEGER)}) END AS arr
+    FROM documents
+)
+SELECT doc_id, u.w AS w, u.l AS l
+FROM (SELECT doc_id, unnest(arr) AS u FROM a)
+"""
+
+_B15_QUERIES = {"explode_default_record": q_explode_default_record}
+_B15_ORACLES = {"explode_default_record": SQL_EXPLODE_DEFAULT}
+
+_B14_QUERIES_FN = queries
+_B14_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B14_QUERIES_FN()
+    out.update(_B15_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B14_ORACLES_FN()
+    out.update(_B15_ORACLES)
+    return out
