@@ -2314,3 +2314,65 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B14_ORACLES_FN()
     out.update(_B15_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 16 (round 2): distinctive-term extraction (TF×rarity keyword op)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document: highest term frequency among
+    terms whose document frequency is below 20% of the corpus (the
+    integer-exact core of TF-IDF — no float logs, so the ranking is
+    bit-identical on any engine).  Shape at scale: token explode → two
+    map-side-combined aggregations → broadcast df-filter join → one rank
+    window per doc."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_counts.filter(F.col("df") * 5 < F.lit(n_docs))  # df < 20% of corpus
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("t").asc())
+    return (
+        tf.join(F.broadcast(rare), "t")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tf", "df", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_TOP_TERMS = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+rare AS (SELECT * FROM dfc WHERE df * 5 < (SELECT count(*) FROM documents))
+SELECT tf.doc_id, tf.t AS term, tf.tf, rare.df,
+       CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, rare.df ASC, tf.t ASC)
+            AS INTEGER) AS rnk
+FROM tf JOIN rare ON tf.t = rare.t
+QUALIFY rnk <= 3
+"""
+
+_B16_QUERIES = {"doc_top_terms": q_doc_top_terms}
+_B16_ORACLES = {"doc_top_terms": SQL_TOP_TERMS}
+
+_B15_QUERIES_FN = queries
+_B15_ORACLES_FN = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B15_QUERIES_FN()
+    out.update(_B16_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B15_ORACLES_FN()
+    out.update(_B16_ORACLES)
+    return out

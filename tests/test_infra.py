@@ -145,7 +145,7 @@ def test_driver_contract_consistency():
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
     assert set(qs) - set(oracles) == {"emb_lsh_topk", "emb_ivf_topk"}
-    assert len(qs) == 63 and len(oracles) == 61
+    assert len(qs) == 64 and len(oracles) == 62
 
 
 def test_no_per_row_python_udfs():
