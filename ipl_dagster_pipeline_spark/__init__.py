@@ -11,8 +11,14 @@ pandas pipeline) as an idiomatic Spark DataFrame engine over transcript tables
 * schema enforcement, dedup-by-key, pivot aggregation, broadcast/anti/semi joins
 * explicit partitioning + hot-key salting, per-stage lineage/row-count metrics,
   checkpoint/resume over atomic parquet snapshot commits
-* training-data ops: exact/MinHash-LSH/SimHash dedup, ANN similarity search,
-  text quality analysis, multimodal binary-column plumbing
+* training-data ops: exact/MinHash-LSH/SimHash dedup + winnowing fingerprints,
+  duplicate-group resolution (connected components), LSH/IVF ANN similarity
+  search and scale-safe embedding near-dup pairs, text quality analysis and
+  rule gates, PII redaction, benchmark decontamination, deterministic
+  train/val/test hash splits, concat-and-chunk sequence packing (distributed
+  prefix sum), multimodal binary-column plumbing (decode/resize/frame-sample)
+* Structured Streaming: watermarked sessionization, dedup-within-watermark,
+  custom stateful operators, and foreachBatch late-data bucket maintenance
 
 Everything is public PySpark API; no code is copied from the reference.
 """
