@@ -53,7 +53,13 @@ def sessionize_grouped(df: DataFrame, gap_seconds: int = 1800, key: str = "conv_
 
     def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-        delta = pdf["ts"].diff().dt.total_seconds()
+        # FLOOR-second deltas, exactly like the window path's
+        # cast(ts as long) — a float total_seconds() diff would disagree on
+        # sub-second timestamps whenever a gap straddles the threshold
+        # (delta in (gap, gap+1) floors to gap → same session in the window
+        # path, but floats past the threshold here)
+        secs = pdf["ts"].astype("int64") // 1_000_000_000
+        delta = secs.diff()
         pdf["session_id"] = (delta.isna() | (delta > gap)).cumsum().astype("int32")
         return pdf
 

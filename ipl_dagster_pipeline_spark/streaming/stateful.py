@@ -59,7 +59,14 @@ def running_features_stateful(stream: DataFrame, gap_seconds: int = 1800) -> Dat
             ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
             out_rows = []
             for turn_idx, ts, t_us in zip(pdf["turn_idx"], pdf["ts"], ts_us):
-                gap = None if last_ts_us is None else (t_us - last_ts_us) // 1_000_000
+                # difference of FLOOR-seconds, matching the batch paths'
+                # cast(ts as long) — flooring the µs difference instead would
+                # disagree whenever fractional parts straddle the threshold
+                gap = (
+                    None
+                    if last_ts_us is None
+                    else t_us // 1_000_000 - last_ts_us // 1_000_000
+                )
                 if last_ts_us is None or gap > gap_seconds:
                     session_id += 1
                 turns_seen += 1

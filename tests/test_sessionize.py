@@ -57,3 +57,49 @@ def test_session_aggregates_counts(small_transcripts):
     agg = session_aggregates(sess)
     total = agg.agg({"n_turns": "sum"}).collect()[0][0]
     assert total == small_transcripts.count()
+
+
+def test_subsecond_boundary_semantics_agree_across_all_paths(spark, tmp_path):
+    """Floor-second gap semantics (cast(ts as long)) on SUB-SECOND timestamps:
+    delta 00:00:00.100 → 00:30:00.700 floats to 1800.6s but floors to exactly
+    1800 → SAME session everywhere; 00:00:00.900 → 00:30:01.000 floors to
+    1801 → NEW session everywhere.  Round-2 regression: the grouped path used
+    float total_seconds() and the stateful path floored the µs DIFFERENCE —
+    both disagreed with the window path on exactly these shapes."""
+    import datetime as dt
+
+    from ipl_dagster_pipeline_spark.operators.sessionize import sessionize, sessionize_grouped
+    from ipl_dagster_pipeline_spark.streaming.session_stream import stream_transcripts
+    from ipl_dagster_pipeline_spark.streaming.stateful import running_features_stateful
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 1, "user", "a", None, base + dt.timedelta(milliseconds=100)),
+        ("c1", 2, "user", "b", None, base + dt.timedelta(minutes=30, milliseconds=700)),
+        ("c2", 1, "user", "c", None, base + dt.timedelta(milliseconds=900)),
+        ("c2", 2, "user", "d", None, base + dt.timedelta(minutes=30, seconds=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    expected = {("c1", 1): 1, ("c1", 2): 1, ("c2", 1): 1, ("c2", 2): 2}
+    for fn in (sessionize, sessionize_grouped):
+        got = {(r.conv_id, r.turn_idx): r.session_id for r in fn(df, gap_seconds=1800).collect()}
+        assert got == expected, fn.__name__
+
+    d = str(tmp_path / "subsec")
+    df.write.parquet(d)
+    q = (
+        running_features_stateful(stream_transcripts(spark, d), gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("subsec_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.turn_idx): r.session_id
+        for r in spark.sql("SELECT * FROM subsec_state").collect()
+    }
+    assert got == expected
