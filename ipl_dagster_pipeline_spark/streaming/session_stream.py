@@ -44,10 +44,19 @@ def streaming_sessionize(
     stream: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
 ) -> DataFrame:
     """Per-conversation gap sessions: one output row per closed session with
-    turn count, char volume, and session bounds."""
+    turn count, char volume, and session bounds.
+
+    The session-window key is the ts TRUNCATED to seconds: the engine's gap
+    definition is floor-second deltas (cast(ts as long), operators/
+    sessionize.py), and ``session_window`` on raw µs timestamps would split/
+    merge differently whenever a gap's fractional parts straddle the
+    threshold.  Aggregated bounds still use the raw ts."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", f"{gap_seconds} seconds"), F.col("conv_id"))
+        .groupBy(
+            F.session_window(F.date_trunc("second", "ts"), f"{gap_seconds} seconds"),
+            F.col("conv_id"),
+        )
         .agg(
             F.count("*").alias("n_turns"),
             F.sum(F.length("text")).alias("total_chars"),

@@ -90,3 +90,34 @@ def test_run_available_now_parquet_sink(spark, transcript_dir, tmp_path):
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     run_available_now(streaming_dedup(stream_transcripts(spark, transcript_dir)), sink, ck)
     assert spark.read.parquet(sink).count() == spark.read.parquet(transcript_dir).count()
+
+
+def test_streaming_sessionize_floor_second_boundary(spark, tmp_path):
+    """Streaming session_window must follow the engine's floor-second gap
+    rule on sub-second timestamps: 00:00:00.100 → 00:15:00.700 floats past a
+    900s gap but floors to exactly 900 → ONE session (matches batch)."""
+    import datetime as dt
+
+    from ipl_dagster_pipeline_spark.operators.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 1, "user", "a", None, base + dt.timedelta(milliseconds=100)),
+        ("c1", 2, "user", "b", None, base + dt.timedelta(minutes=15, milliseconds=700)),
+        ("c1", 3, "user", "c", None, base + dt.timedelta(minutes=30, seconds=1, milliseconds=800)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    d = str(tmp_path / "subsec_stream")
+    df.write.parquet(d)
+    rows_out = run_to_memory(
+        streaming_sessionize(stream_transcripts(spark, d), gap_seconds=900),
+        "subsec_sessions",
+        output_mode="complete",
+    )
+    # batch: turns 1+2 same session (floor delta 900), turn 3 new (floor 901)
+    batch = sessionize(df, gap_seconds=900)
+    assert batch.agg(F.max("session_id")).collect()[0][0] == 2
+    assert len(rows_out) == 2
+    assert sorted(r.n_turns for r in rows_out) == [1, 2]
