@@ -1871,7 +1871,7 @@ wm AS (
 )
 SELECT DISTINCT doc_id, wmin AS fingerprint
 FROM wm
-WHERE pos <= n - 3
+WHERE pos <= greatest(n - 3, 1)
 """
 
 _B11_QUERIES = {"doc_winnow_fingerprints": q_doc_winnow}

@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .caching import release_tracked
 from .io import SnapshotTable
 from .metrics import append_lineage, partition_lineage
 
@@ -61,6 +62,10 @@ class CheckpointedPipeline:
             return tbl.read(self.spark)
         df = fn()
         snap_id = tbl.commit(df, partition_by=partition_by)
+        # the commit IS the consuming action — release every intermediate the
+        # stage persisted (MinHash shingles, LSH buckets, prefix-sum locals)
+        # so a multi-stage run never accumulates executor storage
+        release_tracked()
         committed = tbl.read(self.spark)
         if emit_lineage:
             append_lineage(partition_lineage(committed, name, snapshot_id=snap_id), self.lineage_path)

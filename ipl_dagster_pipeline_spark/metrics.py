@@ -15,8 +15,64 @@ under any partitioning/parallelism.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# named-observation registry: operators that silently cap/drop rows (LSH
+# oversized buckets) register an Observation here so the enclosing pipeline
+# can report the dropped counts after its action — the A4-style dedup-delta
+# warning (reference lamassu.py:306-311) made queryable.
+# ---------------------------------------------------------------------------
+
+_OBS_COUNTER = itertools.count()
+STAGE_OBSERVATIONS: dict[str, Observation] = {}
+
+
+def register_observation(prefix: str) -> Observation:
+    """A fresh uniquely-named Observation, retrievable by its prefix via
+    :func:`observed_metrics` after the consuming action ran."""
+    name = f"{prefix}_{next(_OBS_COUNTER)}"
+    obs = Observation(name)
+    STAGE_OBSERVATIONS[name] = obs
+    return obs
+
+
+def observed_metrics(prefix: str, timeout_secs: float = 1.0) -> dict[str, dict]:
+    """All collected metrics for observations registered under ``prefix``
+    whose action has already executed (un-executed ones are skipped; metric
+    delivery is listener-async, so attached-but-not-yet-delivered ones are
+    polled up to ``timeout_secs``).
+
+    Caveat: an observation attached to a plan branch that AQE prunes away
+    entirely (e.g. empty-relation propagation when EVERY bucket was dropped)
+    never fires — treat "absent" as "branch never executed"."""
+    import time
+
+    out: dict[str, dict] = {}
+    deadline = time.monotonic() + timeout_secs
+    for name, obs in list(STAGE_OBSERVATIONS.items()):
+        if not name.startswith(prefix):
+            continue
+        jo = getattr(obs, "_jo", None)
+        if jo is None:  # never attached to a DataFrame
+            continue
+        try:
+            while not jo.future().isCompleted():  # action not yet run
+                if time.monotonic() >= deadline:
+                    break
+                time.sleep(0.02)
+            if not jo.future().isCompleted():
+                continue
+        except Exception:  # API without the probe — skip rather than block
+            continue
+        try:
+            out[name] = obs.get
+        except Exception:  # completed without a readable row — skip
+            continue
+    return out
 
 
 def _row_checksum(df: DataFrame) -> F.Column:

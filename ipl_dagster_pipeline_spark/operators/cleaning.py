@@ -80,7 +80,12 @@ def quality_gate(
 ) -> DataFrame:
     """Gopher-style rule flags over textstats columns (``with_token_counts`` +
     ``with_quality_scores`` output).  Flags stay as columns so the pipeline
-    can report per-rule kill counts before filtering on ``passes_quality``."""
+    can report per-rule kill counts before filtering on ``passes_quality``.
+
+    The gate is TOTAL: a null stats column (upstream never produces one
+    today, but a drifted producer might) yields flag=false — the rule simply
+    does not fire — so ``passes_quality`` is never null and a
+    ``filter(passes_quality)`` can never silently drop null-verdict rows."""
     flags = {
         "flag_too_short": F.col("n_ws_tokens") < min_tokens,
         "flag_too_long": F.col("n_ws_tokens") > max_tokens,
@@ -91,11 +96,49 @@ def quality_gate(
     }
     out = stats
     for name, expr in flags.items():
-        out = out.withColumn(name, expr)
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
     fail_any = None
     for name in flags:
         fail_any = F.col(name) if fail_any is None else (fail_any | F.col(name))
     return out.withColumn("passes_quality", ~fail_any)
+
+
+def curate_keepers(
+    stats: DataFrame,
+    exact_groups: DataFrame,
+    dup_groups: DataFrame,
+    min_alpha_ratio: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation selection of the corpus job: exact-dup keepers that pass
+    the quality filter, minus near-duplicate group redundancy.
+
+    Eligibility is decided FIRST (exact keeper + quality), THEN the near-dup
+    keeper is re-keyed to the min SURVIVING member per component — a group
+    whose nominal keeper (global min id) was itself removed by exact dedup
+    or quality is still represented by its next-best member instead of the
+    whole group silently vanishing from the corpus.
+
+    ``exact_groups`` = output of :func:`text_dedup.exact_dedup`
+    (fp, keep_id, n_copies); ``dup_groups`` = output of
+    :func:`graph.duplicate_groups` (member, keeper, is_keeper).
+    """
+    exact_keepers = exact_groups.select(F.col("keep_id").alias(id_col))
+    eligible = stats.join(exact_keepers, id_col, "left_semi").filter(
+        F.col("alpha_ratio") >= min_alpha_ratio
+    )
+    comp = dup_groups.select(F.col("member").alias(id_col), F.col("keeper").alias("__component"))
+    tagged = eligible.join(comp, id_col, "left")
+    surviving_keepers = (
+        tagged.filter(F.col("__component").isNotNull())
+        .groupBy("__component")
+        .agg(F.min(id_col).alias("__keep_id"))
+    )
+    return (
+        tagged.join(surviving_keepers, "__component", "left")
+        .filter(F.col("__component").isNull() | (F.col(id_col) == F.col("__keep_id")))
+        .drop("__component", "__keep_id")
+    )
 
 
 def contamination_flags(

@@ -3,17 +3,25 @@ resolution for dedup pipelines).
 
 Near-dup detection (MinHash LSH / embedding LSH) emits PAIRS; an actual
 dedup needs GROUPS — transitive closure over the pair graph — and one
-canonical keeper per group.  This is the hash-to-min label-propagation
-formulation (each node repeatedly adopts the minimum label in its
-neighborhood; converges in O(graph diameter) rounds, O(log n) on the
-short-chain graphs dedup produces):
+canonical keeper per group.  This is hash-to-min label propagation
+ACCELERATED WITH POINTER JUMPING: each round first takes the minimum label
+over the 1-hop neighborhood, then composes the label table with itself
+(L'(v) = L(L(v))), which squares the effective propagation distance —
+convergence in O(log diameter) rounds instead of O(diameter), so the default
+``max_rounds`` covers any graph a dedup can produce (2^25-hop chains).
 
-* every round is one equi-join + one map-side-combined min-aggregation —
+Scale shape per round:
+
+* one equi-join + one map-side-combined min-aggregation for the neighbor
+  step, one self-equi-join on the (small) label table for the jump step —
   no cross products, no driver-side graph;
 * lineage is truncated every round (``localCheckpoint``) so the plan does
   not grow with iterations;
 * convergence is detected with an ``Observation`` on the SAME action that
-  materializes the round — no extra job per round.
+  materializes the round — no extra job per round;
+* exhausting ``max_rounds`` while labels are still changing RAISES — a
+  silently split component would make a dedup keep several "keepers" from
+  one true group (the failure mode is data corruption, not slowness).
 
 The reference has no graph op (closest analog: its two-directional closure
 lookup over situation records, cifs.py:218-224); this generalizes it to the
@@ -26,6 +34,10 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+class ComponentsNotConverged(RuntimeError):
+    """Raised when label propagation still changes after ``max_rounds``."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -35,6 +47,11 @@ def connected_components(
     """(v, component) for every vertex in ``edges``; component = min vertex id
     reachable.  Isolated vertices (no edges) are absent by construction —
     union the node set back in if needed.
+
+    Raises :class:`ComponentsNotConverged` if ``max_rounds`` is exhausted
+    while labels are still moving (cannot happen for graphs of diameter
+    < 2^max_rounds thanks to pointer jumping, but the guard makes the
+    failure loud instead of silently wrong).
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
@@ -42,26 +59,43 @@ def connected_components(
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("v")).distinct().withColumn("comp", F.col("v"))
 
+    changed = 1
     for _ in range(max_rounds):
-        # neighbor-min messages ride the same shuffle as the re-aggregation
+        # 1) neighbor-min messages ride the same shuffle as the re-aggregation
         msgs = sym.join(labels, sym["s"] == labels["v"]).select(
             F.col("d").alias("v"), F.col("comp")
         )
+        mins = labels.unionByName(msgs).groupBy("v").agg(F.min("comp").alias("comp"))
+        # 2) pointer jumping: L'(v) = L(L(v)).  Valid because labels only
+        # decrease and every label value is itself a vertex of the same
+        # component; composing the table with itself squares the distance
+        # a label can travel per round (O(log d) total rounds).
+        jump = mins.select(F.col("comp").alias("__c"), F.col("v").alias("__jv"))
+        jumped = (
+            mins.join(
+                jump.select(F.col("__jv").alias("comp"), F.col("__c").alias("__c2")),
+                on="comp",
+                how="left",
+            )
+            .select("v", F.coalesce(F.col("__c2"), F.col("comp")).alias("comp"))
+        )
         obs = Observation()
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("v")
-            .agg(F.min("comp").alias("comp"))
-            .join(labels.select(F.col("v"), F.col("comp").alias("__old")), "v")
+            jumped.join(labels.select(F.col("v"), F.col("comp").alias("__old")), "v")
             .observe(obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed"))
             .select("v", "comp")
         )
         # one action per round: materialize + truncate lineage + convergence
         # count, all from the same job
-        new_labels = new_labels.localCheckpoint(eager=True)
-        labels = new_labels
-        if (obs.get.get("changed") or 0) == 0:
+        labels = new_labels.localCheckpoint(eager=True)
+        changed = int(obs.get.get("changed") or 0)
+        if changed == 0:
             break
+    if changed != 0:
+        raise ComponentsNotConverged(
+            f"connected_components did not converge within {max_rounds} rounds "
+            f"({changed} labels still changing) — raise max_rounds"
+        )
     return labels.select(F.col("v"), F.col("comp"))
 
 
@@ -69,13 +103,14 @@ def duplicate_groups(
     pairs: DataFrame,
     left: str = "doc_a",
     right: str = "doc_b",
+    max_rounds: int = 25,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into GROUPS: (member, keeper, is_keeper).
 
     keeper = min id of the connected component (matches exact_dedup's
     keep-min-id rule, text_dedup.py); drop-list = rows with is_keeper false.
     """
-    comp = connected_components(pairs, src=left, dst=right)
+    comp = connected_components(pairs, src=left, dst=right, max_rounds=max_rounds)
     return comp.select(
         F.col("v").alias("member"),
         F.col("comp").alias("keeper"),

@@ -23,6 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..caching import tracked_persist
 
 
 def with_global_cumsum(
@@ -52,25 +55,35 @@ def with_global_cumsum(
             )
         ),
     )
-    local = local.persist()
+    local = tracked_persist(local)
     totals = {
         r["__pid"]: r["t"]
         for r in local.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
     }
-    prefix = {}
-    acc = 0
+    prefix, acc = {}, 0
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
-    prefix_expr = None
-    for pid, off in prefix.items():
-        cond = F.col("__pid") == pid
-        prefix_expr = (
-            F.when(cond, F.lit(off)) if prefix_expr is None else prefix_expr.when(cond, F.lit(off))
+    # partition offsets as a BROADCAST-joined tiny frame, not a CASE chain:
+    # a when-chain over 10^4-10^5 range partitions blows past the codegen
+    # expression-tree limits (interpreted fallback + bloated plans); the
+    # hash join against a P-row broadcast table is O(1) per row at any P.
+    offsets_schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__offset", T.LongType(), False),
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(
+        [(int(pid), int(off)) for pid, off in prefix.items()], offsets_schema
+    )
+    return (
+        local.join(F.broadcast(offsets), on="__pid", how="left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")).cast("long"),
         )
-    prefix_expr = prefix_expr.otherwise(F.lit(0)) if prefix_expr is not None else F.lit(0)
-    return local.withColumn(out_col, (prefix_expr + F.col("__local")).cast("long")).drop(
-        "__pid", "__local"
+        .drop("__pid", "__local", "__offset")
     )
 
 

@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+from ..metrics import register_observation
+
 # odd 64-bit multiplier (golden-ratio constant); bit 17 of K*i is a cheap,
 # well-mixed pseudo-random bit.  NOTE: (K*i) % 2 would collapse to parity(i) —
 # K is odd — which is exactly the round-1 degeneracy this construction fixes.
@@ -294,13 +297,22 @@ def near_dup_pairs_lsh(
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col)
     wb = Window.partitionBy("tbl", "bucket")
-    buckets = (
-        buckets.withColumn("__bsize", F.count(F.lit(1)).over(wb))
+    # persist the SIZED frame; observe the dropped count ABOVE the cache on
+    # one join branch (CollectMetrics below an InMemoryRelation never
+    # reports) — surfaced via metrics.observed_metrics('emb_lsh_dropped')
+    sized = tracked_persist(buckets.withColumn("__bsize", F.count(F.lit(1)).over(wb)))
+    obs = register_observation("emb_lsh_dropped")
+    a = (
+        sized.observe(
+            obs,
+            F.sum((F.col("__bsize") > max_bucket).cast("long")).alias("dropped_bucket_rows"),
+            F.count(F.lit(1)).alias("bucket_rows"),
+        )
         .filter(F.col("__bsize") <= max_bucket)
         .drop("__bsize")
-        .persist()
+        .alias("a")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    b = sized.filter(F.col("__bsize") <= max_bucket).drop("__bsize").alias("b")
     cand = (
         a.join(
             b,

@@ -12,15 +12,20 @@ Scale notes (100 TB honesty):
   row per (doc, shingle) / (doc) respectively;
 * LSH band buckets are the join key — the candidate join is an equi shuffle
   join on bucket, never a cross join;
-* giant buckets (degenerate text) should be capped — `lsh_candidates` drops
-  buckets above ``max_bucket`` with a logged count (A4-style silent-cap
-  warning, reference lamassu.py:306-311).
+* giant buckets (degenerate text) are capped — `lsh_candidates` drops
+  buckets above ``max_bucket`` and the dropped-row count is OBSERVABLE
+  (``metrics.observed_metrics('lsh_dropped')`` after the consuming action) —
+  the A4-style silent-cap warning made queryable (reference dedup-delta
+  warning, lamassu.py:306-311).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import tracked_persist
+from ..metrics import register_observation
 
 # 16 hashes in 4 bands of 4 → LSH collision threshold ≈ (1/4)^(1/4) ≈ 0.71
 # Jaccard.  Bands of 2 are far too permissive on narrow-vocabulary corpora:
@@ -130,21 +135,32 @@ def lsh_candidates(
     # count window over (band, bucket) rides the same shuffle the candidate
     # self-join needs anyway.  No eager action — the old `dropped.count()`
     # forced the whole shingle→signature lineage to run an extra time
-    # mid-plan.  (Silent-cap honesty: tests assert the cap drops degenerate
-    # buckets; at 100 TB attach metrics.observe_stage to the returned frame.)
+    # mid-plan.  Silent-cap honesty: the dropped band-row count is attached
+    # as a named Observation (free — evaluated with whatever action consumes
+    # the candidates) and surfaced via metrics.observed_metrics('lsh_dropped').
     wb = Window.partitionBy("band", "bucket")
-    bands = (
-        bands.withColumn("__bsize", F.count(F.lit(1)).over(wb))
+    # persist the SIZED frame (pre-filter): the candidate generation reads it
+    # TWICE (self-join) and the upstream lineage (shingle explode → minhash
+    # agg) must run once, not per join side.  Tracked so the pipeline can
+    # release the blocks after its consuming action (caching.release_tracked).
+    sized = tracked_persist(bands.withColumn("__bsize", F.count(F.lit(1)).over(wb)))
+    # the dropped count is observed ABOVE the cache on ONE join branch (a
+    # CollectMetrics below an InMemoryRelation never reports; duplicating the
+    # node on both branches would collide on the observation name) — free,
+    # evaluated with whatever action consumes the candidates, surfaced via
+    # metrics.observed_metrics('lsh_dropped').
+    obs = register_observation("lsh_dropped")
+    a = (
+        sized.observe(
+            obs,
+            F.sum((F.col("__bsize") > max_bucket).cast("long")).alias("dropped_band_rows"),
+            F.count(F.lit(1)).alias("band_rows"),
+        )
         .filter(F.col("__bsize") <= max_bucket)
         .drop("__bsize")
+        .alias("a")
     )
-    # persist: the candidate generation reads `bands` TWICE (self-join); the
-    # upstream lineage (shingle explode → minhash agg) is the expensive part
-    # and must run once, not per join side.
-    bands = bands.persist()
-
-    a = bands.alias("a")
-    b = bands.alias("b")
+    b = sized.filter(F.col("__bsize") <= max_bucket).drop("__bsize").alias("b")
     return (
         a.join(
             b,
@@ -206,11 +222,12 @@ def minhash_lsh_dedup(
 
     ``storage_level``: the shingle stream is ~|text| rows; at 100 TB pass
     ``StorageLevel.DISK_ONLY`` (or point spark.local.dir at fast scratch) —
-    the default MEMORY_AND_DISK trades executor RAM for the 4× recompute."""
-    from pyspark import StorageLevel
-
-    level = storage_level or StorageLevel.MEMORY_AND_DISK
-    sh = shingles(docs, id_col, text_col, k).persist(level)
+    the default MEMORY_AND_DISK trades executor RAM for the 4× recompute.
+    Both persisted intermediates (shingles here, bands inside
+    ``lsh_candidates``) are registered with ``caching.tracked_persist`` —
+    call ``caching.release_tracked()`` after the action that consumes the
+    returned pairs to free the executor storage."""
+    sh = tracked_persist(shingles(docs, id_col, text_col, k), storage_level)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sig, id_col)
     return jaccard_pairs(cand, sh, id_col, threshold)
@@ -246,6 +263,11 @@ def winnow_fingerprints(
     One window pass over (doc, pos) + a distinct — the fingerprint table is
     the join key for copy detection at corpus scale (equi-join on
     (fingerprint), same shape as the MinHash band bucket join).
+
+    Short-doc fallback (standard winnowing): a document with fewer than
+    ``window`` k-gram positions has no full window — it still emits ONE
+    fingerprint, min(h) over the whole doc, so short docs stay visible to
+    copy detection instead of silently vanishing from the index.
     """
     from pyspark.sql import Window as W
 
@@ -256,8 +278,10 @@ def winnow_fingerprints(
         ph.withColumn("__n", F.count(F.lit(1)).over(n_pos))
         .withColumn("wmin", F.min("h").over(w))
         # only FULL windows select fingerprints (positions beyond n-w+1 see a
-        # truncated frame and would over-select tail hashes)
-        .filter(F.col("pos") <= F.col("__n") - (window - 1))
+        # truncated frame and would over-select tail hashes); greatest(…, 1)
+        # keeps position 1 for docs shorter than one window, whose truncated
+        # frame at pos 1 covers the whole doc → min(h) fallback fingerprint
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - (window - 1), F.lit(1)))
         .select(id_col, F.col("wmin").alias("fingerprint"))
         .distinct()
     )

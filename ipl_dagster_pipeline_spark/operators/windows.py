@@ -147,12 +147,20 @@ def rank_dedup(
     ``order`` must be PLAIN (direction-less) Columns — the direction belongs
     to ``keep``: 'first' keeps the minimum under ascending order, 'last' the
     maximum.  Passing an already-``.desc()``-ed Column would silently re-flip
-    under keep='last', so it is rejected.  Reference parity:
-    ``drop_duplicates(subset=…, keep='first'|'last')`` (lamassu.py:221,306-311).
+    under keep='last', so it is rejected.  The guard matches the SortOrder
+    suffix Spark renders at the END of the expression string (``… ASC NULLS
+    FIRST``), so column names or literals that merely CONTAIN ' ASC'/' DESC'
+    (e.g. a CASE against ' DESCRIPTION') are not falsely rejected.
+    Reference parity: ``drop_duplicates(subset=…, keep='first'|'last')``
+    (lamassu.py:221,306-311).
     """
+    import re
+
     for c in order:
         s = str(c)
-        if " ASC" in s or " DESC" in s:
+        # Column repr is "Column<'<expr>'>"; a pre-directed column ends in
+        # the SortOrder suffix rendered by Spark
+        if re.search(r" (ASC|DESC)( NULLS (FIRST|LAST))?'?>?$", s):
             raise ValueError(
                 f"rank_dedup order columns must be direction-less (got {s}); "
                 "direction is chosen by keep="

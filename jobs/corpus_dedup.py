@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ipl_dagster_pipeline_spark.checkpoint import CheckpointedPipeline
 from ipl_dagster_pipeline_spark.metrics import total_from_lineage
+from ipl_dagster_pipeline_spark.operators.cleaning import curate_keepers
 from ipl_dagster_pipeline_spark.operators.graph import duplicate_groups
 from ipl_dagster_pipeline_spark.operators.sampling import hash_split
 from ipl_dagster_pipeline_spark.operators.text_dedup import exact_dedup, minhash_lsh_dedup
@@ -57,18 +58,12 @@ def main() -> None:
     groups = pipe.stage("groups", lambda: duplicate_groups(pairs))
 
     def _curate():
-        # exact keepers: one doc per fingerprint group
-        exact_keepers = exact.select(F.col("keep_id").alias("doc_id"))
-        # near-dup drop list: every non-keeper component member
-        near_drops = groups.filter(~F.col("is_keeper")).select(
-            F.col("member").alias("doc_id")
+        # eligibility first (exact keeper + quality), then near-dup keepers
+        # re-keyed to surviving members — see cleaning.curate_keepers
+        return hash_split(
+            curate_keepers(stats, exact, groups, min_alpha_ratio=args.min_alpha_ratio),
+            "doc_id",
         )
-        kept = (
-            stats.join(exact_keepers, "doc_id", "left_semi")
-            .join(near_drops, "doc_id", "left_anti")
-            .filter(F.col("alpha_ratio") >= args.min_alpha_ratio)
-        )
-        return hash_split(kept, "doc_id")
 
     curated = pipe.stage("curated", _curate)
 

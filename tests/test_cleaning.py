@@ -47,6 +47,52 @@ def test_quality_gate_flags(spark):
     assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
 
 
+def test_quality_gate_is_total_under_null_stats(spark):
+    """A null stats column (drifted producer) must not null the verdict:
+    flags coalesce to false, so passes_quality is never null."""
+    rows = [
+        (1, 50, 0.8, 0.05, None),   # null mean_word_len
+        (2, None, 0.8, 0.05, 4.5),  # null token count
+        (3, None, None, None, None),
+    ]
+    schema = "doc_id int, n_ws_tokens int, alpha_ratio double, punct_ratio double, mean_word_len double"
+    df = spark.createDataFrame(rows, schema)
+    out = quality_gate(df).collect()
+    assert all(r.passes_quality is not None for r in out)
+    assert all(
+        getattr(r, c) is not None
+        for r in out
+        for c in ("flag_too_short", "flag_too_long", "flag_low_alpha", "flag_high_punct", "flag_word_len")
+    )
+    # the all-null row fires no rule → passes (rules abstain, not condemn)
+    assert {r.doc_id: r.passes_quality for r in out} == {1: True, 2: True, 3: True}
+
+
+def test_curate_keepers_rekeys_to_surviving_member(spark):
+    """If a component's nominal keeper (min id) fails eligibility, the group
+    must be represented by its next-best surviving member, not vanish."""
+    from ipl_dagster_pipeline_spark.operators.cleaning import curate_keepers
+
+    # stats for docs 1..5; doc 1 fails quality (alpha 0.1)
+    stats = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (4, 0.9), (5, 0.9)], ["doc_id", "alpha_ratio"]
+    )
+    # exact dedup: doc 4 is an exact copy of doc 5 → keeper 4, doc 5 dropped
+    exact = spark.createDataFrame(
+        [("fa", 1, 1), ("fb", 2, 1), ("fc", 3, 1), ("fd", 4, 2)],
+        ["fp", "keep_id", "n_copies"],
+    )
+    # near-dup component {1, 2, 3} with nominal keeper 1 (which fails quality)
+    groups = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False)], ["member", "keeper", "is_keeper"]
+    )
+    kept = sorted(r.doc_id for r in curate_keepers(stats, exact, groups).collect())
+    # doc 2 survives as the re-keyed group representative; doc 3 dropped as
+    # its redundant sibling; doc 1 dropped by quality; doc 4 kept; doc 5 was
+    # never an exact keeper
+    assert kept == [2, 4]
+
+
 def test_contamination_flags_exact_and_copy(spark):
     bench = spark.createDataFrame(
         [(0, "the quick brown fox jumps over the lazy dog again and again tonight")],

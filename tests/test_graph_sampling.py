@@ -29,6 +29,24 @@ def test_connected_components_long_path_converges(spark):
     assert len(comp) == 31
 
 
+def test_connected_components_deep_chain_default_rounds(spark):
+    """Pointer jumping: a 300-hop path (diameter far above the round budget
+    of plain one-hop propagation) converges within the DEFAULT max_rounds —
+    the silent-split hazard of the one-hop formulation is gone."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(300)], ["src", "dst"])
+    comp = connected_components(edges).collect()  # default max_rounds=25
+    assert len(comp) == 301
+    assert all(r.comp == 0 for r in comp)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from ipl_dagster_pipeline_spark.operators.graph import ComponentsNotConverged
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(60)], ["src", "dst"])
+    with pytest.raises(ComponentsNotConverged, match="did not converge"):
+        connected_components(edges, max_rounds=1)
+
+
 def test_duplicate_groups_keeper_rule(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9), (100, 50)], ["doc_a", "doc_b"])
     got = {r.member: (r.keeper, r.is_keeper) for r in duplicate_groups(pairs).collect()}
@@ -78,6 +96,36 @@ def test_global_cumsum_matches_single_partition(spark):
         r.k: r.cumsum
         for r in with_global_cumsum(df, "k", "v", n_partitions=13).collect()
     }
+    exp = {
+        r.k: r.c
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_cumsum_many_partitions_uses_broadcast_offsets(spark):
+    """At n_partitions=256 the offsets must be a broadcast join, never a
+    256-arm CASE chain (which falls out of codegen at real partition counts),
+    and values must still equal the single-partition cumsum."""
+    from pyspark.sql import Window
+
+    from ipl_dagster_pipeline_spark.operators.packing import with_global_cumsum
+
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") % 11 + 1).cast("long"))
+    )
+    out = with_global_cumsum(df, "k", "v", n_partitions=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" not in plan
+    assert "Broadcast" in plan
+    got = {r.k: r.cumsum for r in out.collect()}
     exp = {
         r.k: r.c
         for r in df.withColumn(

@@ -259,3 +259,67 @@ def test_winnow_fingerprints_detect_shared_substrings(spark, docs):
     assert overlap_other < overlap_mut
     # density: ~1/window of the k-gram stream, never empty
     assert all(len(s) > 0 for s in sets.values())
+
+
+def test_winnow_short_doc_fallback(spark):
+    """Docs shorter than one full window (< k+window-1 = 8 chars with
+    defaults) must still emit exactly ONE fingerprint — min(h) over the whole
+    doc — so short docs stay visible to copy detection."""
+    from ipl_dagster_pipeline_spark.operators.text_dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdefg"), (3, "abcdefgh"), (4, "ab"), (5, "")],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(df, k=5, window=4).toPandas()
+    per = fp.groupby("doc_id").fingerprint.agg(["count", "min"])
+    # every doc (even the 2-char and empty ones) has >= 1 fingerprint
+    assert sorted(per.index) == [1, 2, 3, 4, 5]
+    assert (per.loc[[1, 2], "count"] == 1).all()
+    # identical short docs share the fallback fingerprint
+    assert per.loc[1, "min"] == per.loc[4, "min"]
+    # full-window docs are unchanged by the fallback (8 chars = 4 positions =
+    # exactly one full window -> one fingerprint as before)
+    assert per.loc[3, "count"] == 1
+
+
+def test_lsh_dropped_buckets_are_observable(spark):
+    """Silent-cap honesty: capping oversized LSH buckets must emit an
+    observable dropped count (reference dedup-delta warning analog)."""
+    from ipl_dagster_pipeline_spark.metrics import observed_metrics
+    from ipl_dagster_pipeline_spark.operators.text_dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+
+    # 12 identical docs -> every band bucket has 12 members > max_bucket=4
+    # (all capped), plus 6 unique docs that survive (so AQE cannot prune the
+    # observed branch as an empty relation — see observed_metrics caveat)
+    rows = [(i, "the same degenerate text for every document here") for i in range(12)]
+    rows += [(100 + i, f"unique text number {i} with words w{i} q{i} z{i} etc") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(shingles(df))
+    cand = lsh_candidates(sig, max_bucket=4).toPandas()
+    assert (cand["doc_a"] >= 100).all()  # degenerate block capped away
+    got = observed_metrics("lsh_dropped")
+    # 12 docs × 4 bands = 48 oversized band rows dropped, 72 total
+    assert any(
+        m.get("dropped_band_rows", 0) == 48 and m.get("band_rows") == 72 for m in got.values()
+    ), got
+
+
+def test_tracked_persists_are_released(spark, docs):
+    """After a consuming action + release_tracked() the persisted
+    intermediates (shingles, bands, buckets) leave executor storage."""
+    from ipl_dagster_pipeline_spark.caching import release_tracked
+    from ipl_dagster_pipeline_spark.operators.text_dedup import minhash_lsh_dedup
+
+    release_tracked(blocking=True)  # clear anything earlier tests left behind
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    minhash_lsh_dedup(docs, threshold=0.5).count()
+    assert jsc.getPersistentRDDs().size() > base  # intermediates pinned
+    released = release_tracked(blocking=True)
+    assert released >= 2  # shingles + bands
+    assert jsc.getPersistentRDDs().size() == base

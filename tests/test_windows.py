@@ -77,3 +77,21 @@ def test_lag_never_reads_future(small_transcripts):
     )
     bad = df.filter(F.col("prev_ts") > F.col("ts").cast("long")).count()
     assert bad == 0
+
+
+def test_rank_dedup_direction_guard_is_anchored(spark):
+    """The pre-directed-column guard matches the SortOrder SUFFIX only: a
+    CASE expression containing ' DESCRIPTION' as a string literal must NOT
+    be rejected, while an actual .desc()/.asc() column must."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c1", 1, "a DESCRIPTION", "x")], ["conv_id", "turn_idx", "ts", "text"]
+    )
+    # literal containing ' DESC' mid-expression: accepted
+    order = [F.when(F.col("ts") == " DESCRIPTION", F.lit(0)).otherwise(F.lit(1)), F.col("text")]
+    assert rank_dedup(df, ["conv_id"], order, keep="first").count() == 1
+    # genuinely pre-directed columns: rejected
+    for bad in (F.col("ts").desc(), F.col("ts").asc(), F.col("ts").desc_nulls_last()):
+        with pytest.raises(ValueError, match="direction-less"):
+            rank_dedup(df, ["conv_id"], [bad], keep="last")
