@@ -54,13 +54,20 @@ EXTENDED = [
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+    # free tracked persisted intermediates so back-to-back queries don't
+    # accumulate executor storage across the run
+    from ipl_dagster_pipeline_spark.caching import release_tracked
+
+    release_tracked()
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="ipl-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    qs = entry_mod.queries()
+    # all_queries keeps the round-1/2-comparable un-merged names (the exported
+    # queries() is the consolidated 50-entry driver gate)
+    qs = entry_mod.all_queries()
 
     # warm the JVM + parquet footers once (not counted)
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()

@@ -5,7 +5,11 @@ sf0.01, then compares row count, column names, and (row-order-insensitively)
 values — exact for non-floats, 1e-9 atol for floats, reporting max float diff
 so hash-compare risk is visible.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--all] [sf_dir] [query ...]
+
+Default checks the exported driver gate (the consolidated 50 entries);
+``--all`` checks the full un-merged catalog (all_queries), which includes
+every pre-consolidation query the merged suites were built from.
 """
 
 from __future__ import annotations
@@ -63,14 +67,19 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    use_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if use_all:
+        qs, oracles = entry_mod.all_queries(), entry_mod.all_oracle_sql()
+    else:
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -138,14 +138,39 @@ def test_identifier_safety_guard():
 
 
 def test_driver_contract_consistency():
-    """Every oracle key maps to a query; the only rows-only queries are the
-    two approximate ANN paths (which carry in-row invariants instead)."""
+    """The exported gate is EXACTLY 50 entries (the driver checks the first
+    50 in insertion order), previously-unchecked capability classes first;
+    the only rows-only entry is the approximate-ANN parity union (which
+    carries in-row invariants instead).  The un-merged catalog stays a
+    superset for bench/debugging."""
     import __spark_entry__ as em
 
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    assert set(qs) - set(oracles) == {"emb_lsh_topk", "emb_ivf_topk"}
-    assert len(qs) == 64 and len(oracles) == 62
+    assert set(qs) - set(oracles) == {"emb_ann_parity"}
+    assert len(qs) == 50 and len(oracles) == 49
+    assert list(qs) == em.DRIVER_QUERY_ORDER
+    # the 14 capability classes without a round-2 driver row come first
+    assert list(qs)[:14] == [
+        "emb_dup_components",
+        "emb_ann_parity",
+        "doc_hash_split",
+        "doc_winnow_fingerprints",
+        "doc_collapse_repeats",
+        "doc_quality_gate",
+        "doc_pii_redact",
+        "doc_contamination",
+        "doc_top_terms",
+        "doc_pack_sequences",
+        "media_resize_images",
+        "media_sample_frames",
+        "incident_pipeline",
+        "explode_default_record",
+    ]
+    # every merged-away original is still runnable via the full catalog
+    all_qs, all_oracles = em.all_queries(), em.all_oracle_sql()
+    assert set(qs) <= set(all_qs) and set(oracles) <= set(all_oracles)
+    assert len(all_qs) == 76 and len(all_oracles) == 73
 
 
 def test_no_per_row_python_udfs():
