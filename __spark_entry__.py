@@ -2780,3 +2780,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = all_oracle_sql()
     return {k: o[k] for k in DRIVER_QUERY_ORDER if k in o}
+
+# ---------------------------------------------------------------------------
+# batch 18 (round 3): deterministic stratified sampling (source-mixture
+# weighting).  Catalog-only (the exported gate stays at exactly 50 entries);
+# oracle-checked via scripts/check_oracles.py --all.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sampling import sample_stratified
+
+_STRATA_FRACS = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_STRATA_DEFAULT = 0.75
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture weighting: keep 50% of en, all of de, 25% of zh, 75% of
+    everything else — deterministic per-doc hash buckets, pure projection +
+    filter (no RNG, no sampleBy driver round-trip), bit-identical on any
+    engine/parallelism."""
+    docs = _read(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, strata_col="lang", key_col="doc_id", fractions=_STRATA_FRACS,
+        default_fraction=_STRATA_DEFAULT,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_STRATA_BOUND_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {round(v * 10000)}" for k, v in _STRATA_FRACS.items()
+) + f" ELSE {round(_STRATA_DEFAULT * 10000)} END"
+
+SQL_STRATIFIED = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_duck_hash(13, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} % 10000
+      < {_STRATA_BOUND_SQL}
+"""
+
+_B17_ALL_QUERIES_FN = all_queries
+_B17_ALL_ORACLES_FN = all_oracle_sql
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B17_ALL_QUERIES_FN()
+    out.update({"doc_stratified_sample": q_doc_stratified_sample})
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B17_ALL_ORACLES_FN()
+    out.update({"doc_stratified_sample": SQL_STRATIFIED})
+    return out

@@ -10,6 +10,12 @@ hash), so the DuckDB oracle reproduces the exact assignment bit-for-bit.
 ``hash_split`` buckets ``portable_hash(key) % granularity`` against cumulative
 fraction boundaries; entity-keyed splits (e.g. conv_id) keep every row of an
 entity in one fold — the leakage-safe way to split conversation data.
+
+``sample_stratified`` generalizes the same construction to PER-STRATUM keep
+fractions — the source-mixture-weighting step of a pretraining data recipe
+(downsample an over-represented crawl source, keep all of a curated one)
+with the same guarantees: pure projection, no RNG, identical sample at any
+parallelism, replayable in ANSI SQL.
 """
 
 from __future__ import annotations
@@ -60,3 +66,34 @@ def hash_split(
         cond = bucket < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out_col, expr)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    seed: int = 13,
+    granularity: int = GRANULARITY,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket is
+    below its stratum's fraction boundary (source-mixture weighting).
+
+    Unlike ``df.sampleBy`` this is a pure projection + filter: no RNG, no
+    driver round-trip, the exact same rows survive at any parallelism and on
+    any engine — so a mixture decision made at 100 TB is reproducible and
+    auditable.  Fractions are exact to 1/granularity; strata absent from
+    ``fractions`` keep ``default_fraction``.  The hash key should be the
+    entity id (doc/conv), so resampling a stratum never splits an entity.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    bucket = split_bucket(F.col(key_col), seed, granularity)
+    bound = F.lit(round(default_fraction * granularity))
+    for name, frac in fractions.items():
+        bound = F.when(F.col(strata_col) == name, F.lit(round(frac * granularity))).otherwise(bound)
+    return df.filter(bucket < bound)

@@ -153,3 +153,33 @@ def test_pack_sequences_intervals_are_contiguous(spark):
         assert r.first_chunk == r.tok_start // 512
         assert r.last_chunk == (r.tok_end - 1) // 512
         prev_end = r.tok_end
+
+
+def test_sample_stratified_fractions_and_determinism(spark):
+    from ipl_dagster_pipeline_spark.operators.sampling import sample_stratified
+
+    df = (
+        spark.range(0, 30000)
+        .withColumnRenamed("id", "k")
+        .withColumn("s", F.when(F.col("k") % 3 == 0, "a").when(F.col("k") % 3 == 1, "b").otherwise("c"))
+    )
+    out = sample_stratified(df, "s", "k", {"a": 0.5, "b": 1.0}, default_fraction=0.1)
+    got = {r.s: r["count"] for r in out.groupBy("s").count().collect()}
+    assert abs(got["a"] / 10000 - 0.5) < 0.03
+    assert got["b"] == 10000  # fraction 1.0 keeps everything
+    assert abs(got["c"] / 10000 - 0.1) < 0.02
+    # identical sample under different parallelism (pure projection + filter)
+    again = set(r.k for r in sample_stratified(df.repartition(17), "s", "k", {"a": 0.5, "b": 1.0}, 0.1).select("k").collect())
+    assert again == set(r.k for r in out.select("k").collect())
+    # monotone: raising a stratum's fraction only ADDS rows (nested samples)
+    smaller = set(r.k for r in sample_stratified(df, "s", "k", {"a": 0.2, "b": 1.0}, 0.1).filter("s = 'a'").select("k").collect())
+    larger = set(r.k for r in out.filter("s = 'a'").select("k").collect())
+    assert smaller <= larger
+
+
+def test_sample_stratified_validates_fractions(spark):
+    from ipl_dagster_pipeline_spark.operators.sampling import sample_stratified
+
+    df = spark.range(5).withColumnRenamed("id", "k").withColumn("s", F.lit("a"))
+    with pytest.raises(ValueError, match="must be in"):
+        sample_stratified(df, "s", "k", {"a": 1.5})
