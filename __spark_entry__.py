@@ -2831,3 +2831,79 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B17_ALL_ORACLES_FN()
     out.update({"doc_stratified_sample": SQL_STRATIFIED})
     return out
+
+# ---------------------------------------------------------------------------
+# batch 19 (round 3): value-hash oracle for the deterministic LSH ANN path.
+# The hyperplane construction is hash-derived (no RNG), so DuckDB can replay
+# the EXACT buckets from shared sign literals — upgrading the LSH top-k from
+# rows-only to a full value-hash gate (catalog/--all; the exported gate keeps
+# the rows-only parity union because its IVF half is learned/engine-internal).
+# ---------------------------------------------------------------------------
+
+_LT_PLANES, _LT_TABLES, _LT_DIM, _LT_K, _LT_NQ = 8, 4, 64, 5, 10
+
+
+def q_lsh_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure LSH ANN result (no brute-force columns) so the generated
+    oracle can value-hash it: same lsh_topk call as the parity entry."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, query_ids=list(range(_LT_NQ)), k=_LT_K,
+        n_planes=_LT_PLANES, n_tables=_LT_TABLES, dim=_LT_DIM,
+    )
+
+
+def _lt_bucket_sql(t: int) -> str:
+    terms = []
+    for p in range(_LT_PLANES):
+        signs = hyperplane_signs(t * _LT_PLANES + p, _LT_DIM)
+        arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LT_BANDS_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT vec_id, {t} AS tbl, {_lt_bucket_sql(t)} AS bucket FROM v" for t in range(_LT_TABLES)
+)
+
+SQL_LSH_TOPK = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+    {_LT_BANDS_SQL}
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < {_LT_NQ}),
+cand AS (
+    SELECT DISTINCT qb.query_id, b.vec_id
+    FROM b JOIN qb USING (tbl, bucket)
+    WHERE b.vec_id <> qb.query_id
+),
+p AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+    FROM cand
+    JOIN v q ON q.vec_id = cand.query_id
+    JOIN v c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+FROM p
+QUALIFY rnk <= {_LT_K}
+"""
+
+_B18_ALL_QUERIES_FN = all_queries
+_B18_ALL_ORACLES_FN = all_oracle_sql
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B18_ALL_QUERIES_FN()
+    out.update({"emb_lsh_topk_oracle": q_lsh_topk_oracle})
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B18_ALL_ORACLES_FN()
+    out.update({"emb_lsh_topk_oracle": SQL_LSH_TOPK})
+    return out
