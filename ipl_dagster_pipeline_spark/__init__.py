@@ -12,11 +12,14 @@ pandas pipeline) as an idiomatic Spark DataFrame engine over transcript tables
 * explicit partitioning + hot-key salting, per-stage lineage/row-count metrics,
   checkpoint/resume over atomic parquet snapshot commits
 * training-data ops: exact/MinHash-LSH/SimHash dedup + winnowing fingerprints,
-  duplicate-group resolution (connected components), LSH/IVF ANN similarity
-  search and scale-safe embedding near-dup pairs, text quality analysis and
-  rule gates, PII redaction, benchmark decontamination, deterministic
-  train/val/test hash splits, concat-and-chunk sequence packing (distributed
-  prefix sum), multimodal binary-column plumbing (decode/resize/frame-sample)
+  duplicate-group resolution (pointer-jumping connected components, loud on
+  non-convergence), LSH/IVF ANN similarity search and scale-safe embedding
+  near-dup pairs (capped buckets with observable dropped counts), text quality
+  analysis and total rule gates, PII redaction, benchmark decontamination,
+  deterministic train/val/test hash splits + stratified source-mixture
+  sampling, concat-and-chunk sequence packing (distributed prefix sum with
+  broadcast partition offsets), multimodal binary-column plumbing
+  (decode/resize/frame-sample), survivor-re-keyed corpus curation
 * Structured Streaming: watermarked sessionization, dedup-within-watermark,
   custom stateful operators, and foreachBatch late-data bucket maintenance
 

@@ -137,6 +137,15 @@ def main() -> None:
     warmup = int(os.environ.get("SCALE_WARMUP", "2"))
     data_dir = os.environ.get("SCALE_DATA_DIR", "/tmp/ipl_scale_input")
 
+    # --runs f1.json f2.json ... : additional complete-run summaries to render
+    # as a cross-run variance table (the throttling evidence the headline run
+    # is selected from).
+    variance_files: list[str] = []
+    if "--runs" in sys.argv:
+        i = sys.argv.index("--runs")
+        variance_files = sys.argv[i + 1 :]
+        sys.argv = sys.argv[:i]
+
     if len(sys.argv) > 2 and sys.argv[1] == "--from-json":
         # replay mode: regenerate BENCH/BASELINE.md from a stored summary
         # (the repeat-run protocol keeps the BEST complete run as headline)
@@ -218,6 +227,29 @@ def main() -> None:
             for i, r in enumerate(results[level]["reps"])
         )
 
+    variance_section = ""
+    if variance_files:
+        rows_md = []
+        for vf in variance_files:
+            with open(vf) as fh:
+                v = json.load(fh)
+            star = " **(headline)**" if abs(v["sec_8"] - t8) < 1e-9 and abs(v["sec_32"] - t32) < 1e-9 else ""
+            rows_md.append(
+                f"| {os.path.basename(vf)}{star} | {v['rows']:,} | {v['scaling_efficiency']} "
+                f"| {v['scaling_efficiency_best_pair']} | {v['cpu_control_efficiency']} "
+                f"| {v['mem_control_efficiency']} | {v['engine_vs_cpu_ceiling']} "
+                f"| {v['engine_vs_mem_ceiling']} | {v['engine_vs_mem_ceiling_best_pair']} |"
+            )
+        variance_section = (
+            "\n## Cross-run variance (every complete run this round)\n\n"
+            "The 13-minute protocol is rerun across the round and the best complete\n"
+            "run is adopted as the headline (throttling only ever ADDS time). All\n"
+            "runs are committed under `BENCH/runs/` — nothing is discarded:\n\n"
+            "| run | rows | eff (median) | eff (best-pair) | cpu ctrl eff | mem ctrl eff "
+            "| job/cpu ceiling | job/mem ceiling | job/mem (best-pair) |\n"
+            "|---|---|---|---|---|---|---|---|---|\n" + "\n".join(rows_md) + "\n"
+        )
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
@@ -262,7 +294,7 @@ time, so the min rep is the closest observation of true capability):
 |---|---|---|---|---|---|---|
 {rep_rows(8)}
 {rep_rows(32)}
-
+{variance_section}
 ## Interpretation (single-box honesty)
 
 Both levels run on ONE socket sharing last-level cache and DRAM bandwidth, and
