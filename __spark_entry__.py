@@ -2907,3 +2907,162 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B18_ALL_ORACLES_FN()
     out.update({"emb_lsh_topk_oracle": SQL_LSH_TOPK})
     return out
+
+# ---------------------------------------------------------------------------
+# batch 20 (round 3): mixture upsampling with fractional epochs, per-source
+# token-budget selection on a KEYED distributed prefix sum, and deterministic
+# corpus shuffle + balanced shard assignment on a global prefix sum.
+# Catalog-only (the exported gate stays at exactly 50 entries); oracle-checked
+# via scripts/check_oracles.py --all.  All three use generated oracles: the
+# DuckDB SQL is rendered from the SAME Python constants/seeds as the Spark
+# path, so every op gets a full value-hash gate.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sampling import (
+    mixture_epochs,
+    shuffle_shards,
+    token_budget_select,
+)
+
+_MIX_EPOCHS = {"en": 0.6, "de": 2.3, "zh": 1.0}
+_MIX_DEFAULT = 1.5
+_MIX_SEED = 29
+
+
+def q_doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture with UPSAMPLING: 0.6 epochs of en,
+    2.3 epochs of de, 1 of zh, 1.5 of the rest — floor(e) copies per doc plus
+    one more iff the doc's hash bucket < frac(e).  Deterministic (no RNG),
+    pure projection + explode, each copy tagged with its epoch index."""
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_epochs(
+        docs, strata_col="lang", key_col="doc_id", epochs=_MIX_EPOCHS,
+        default_epochs=_MIX_DEFAULT, seed=_MIX_SEED,
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
+def _mix_case(selector) -> str:
+    dw = selector(_MIX_DEFAULT)
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {selector(v)}" for k, v in _MIX_EPOCHS.items()
+    )
+    return f"CASE {arms} ELSE {dw} END"
+
+
+SQL_MIXTURE_EPOCHS = f"""
+WITH n AS (
+    SELECT doc_id, lang,
+           {_mix_case(lambda e: int(e))}
+           + CASE WHEN {_duck_hash(_MIX_SEED, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} % 10000
+                       < {_mix_case(lambda e: round((e - int(e)) * 10000))}
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM documents
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INTEGER) AS epoch
+FROM n
+WHERE n_copies > 0
+"""
+
+
+_TB_BUDGETS = {"src0": 800, "src1": 400}
+_TB_DEFAULT = 600
+_TB_SEED = 31
+
+
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection ("800 tokens of src0, 400 of src1,
+    600 of everything else"): docs walk in portable-hash order per source,
+    kept while the running token total fits the budget.  The running total is
+    a KEYED two-phase distributed prefix sum — never a one-task-per-source
+    window, so a dominant source cannot become a straggler."""
+    docs = with_token_counts(_read(spark, sf_dir, "documents"))
+    out = token_budget_select(
+        docs, strata_col="source", key_col="doc_id", token_col="n_ws_tokens",
+        budgets=_TB_BUDGETS, default_budget=_TB_DEFAULT, seed=_TB_SEED,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("n_ws_tokens").cast("int").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+_TB_CASE = "CASE " + " ".join(
+    f"WHEN source = '{k}' THEN {v}" for k, v in _TB_BUDGETS.items()
+) + f" ELSE {_TB_DEFAULT} END"
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+           {_duck_hash(_TB_SEED, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} AS h
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= {_TB_CASE}
+"""
+
+
+_SH_SHARDS = 8
+_SH_SEED = 37
+
+
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (hash order) + round-robin shard
+    assignment: shuffle_pos is an exact corpus-wide row number computed as a
+    distributed prefix sum of 1s (range partition + broadcast offsets), never
+    a single-partition Window.orderBy."""
+    docs = _read(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, key_col="doc_id", n_shards=_SH_SHARDS, seed=_SH_SEED)
+    return out.select("doc_id", "shuffle_pos", "shard")
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH h AS (
+    SELECT doc_id,
+           {_duck_hash(_SH_SEED, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} AS h
+    FROM documents
+),
+p AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+    FROM h
+)
+SELECT doc_id, shuffle_pos, CAST(shuffle_pos % {_SH_SHARDS} AS INTEGER) AS shard
+FROM p
+"""
+
+_B19_ALL_QUERIES_FN = all_queries
+_B19_ALL_ORACLES_FN = all_oracle_sql
+
+_B20_QUERIES = {
+    "doc_mixture_epochs": q_doc_mixture_epochs,
+    "doc_token_budget": q_doc_token_budget,
+    "doc_shuffle_shards": q_doc_shuffle_shards,
+}
+_B20_ORACLES = {
+    "doc_mixture_epochs": SQL_MIXTURE_EPOCHS,
+    "doc_token_budget": SQL_TOKEN_BUDGET,
+    "doc_shuffle_shards": SQL_SHUFFLE_SHARDS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B19_ALL_QUERIES_FN()
+    out.update(_B20_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B19_ALL_ORACLES_FN()
+    out.update(_B20_ORACLES)
+    return out

@@ -9,7 +9,9 @@ scalably with the classic two-phase distributed prefix sum:
 
 1. range-partition + sort by the order key (the layout a packed write wants
    anyway);
-2. LOCAL cumulative sums per partition (ordinary partitioned window);
+2. LOCAL cumulative sums per partition in one vectorized Arrow pass riding
+   that sort (a partitioned window would re-exchange the whole corpus — see
+   ``_stamped_local_cumsum``);
 3. per-partition totals (one row per partition) → driver (bounded by the
    partition count, never by data) → broadcast prefix offsets;
 4. global offset = partition prefix + local cumsum.
@@ -21,16 +23,80 @@ span — every downstream loader can slice example ``k`` as tokens
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..caching import tracked_persist
 
 
+def _stamped_local_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_partitions: int | None,
+) -> DataFrame:
+    """Range-partition on (group, order), sort within partitions, and stamp
+    each row with ``__pid`` and its per-(partition, group) running sum
+    ``__local`` in ONE vectorized Arrow pass.
+
+    A ``Window.partitionBy(__pid)`` would do the same arithmetic but Catalyst
+    cannot prove range partitioning satisfies the window's required
+    distribution, so it inserts a SECOND full-data hash exchange on
+    ``(group, __pid)`` — at 100 TB that is the whole corpus shuffled twice.
+    The mapInPandas pass rides the in-partition sort directly: zero extra
+    exchange, no window sort, batch-wise cumsum with a carry across Arrow
+    batches (groups are contiguous after the sort, so only the boundary group
+    carries).
+    """
+    cols = [F.col(c) for c in group_cols + order_cols]
+    rp = df.repartitionByRange(n_partitions, *cols) if n_partitions else df.repartitionByRange(*cols)
+    srt = rp.sortWithinPartitions(*cols)
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, f.nullable) for f in srt.schema.fields]
+        + [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__local", T.LongType(), True),
+        ]
+    )
+    gcols, vcol = list(group_cols), value_col
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry_key: object = object()  # sentinel: equal to no real key
+        carry = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pdf = pdf.copy()
+            vals = pdf[vcol].fillna(0).astype("int64")
+            if gcols:
+                gid = pdf.groupby(gcols, sort=False, dropna=False).ngroup()
+                cs = vals.groupby(gid).cumsum()
+                first_key = tuple(None if pd.isna(x) else x for x in pdf.iloc[0][gcols])
+                last_key = tuple(None if pd.isna(x) else x for x in pdf.iloc[-1][gcols])
+                if first_key == carry_key:
+                    cs = cs + (gid == gid.iloc[0]).astype("int64") * carry
+            else:
+                cs = vals.cumsum() + carry
+                first_key = last_key = ()
+            carry, carry_key = int(cs.iloc[-1]), last_key
+            pdf["__pid"] = np.int32(pid)
+            pdf["__local"] = cs.astype("int64")
+            yield pdf
+
+    return srt.mapInPandas(gen, out_schema)
+
+
 def with_global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "cumsum",
     n_partitions: int | None = None,
@@ -40,21 +106,13 @@ def with_global_cumsum(
 
     The driver round-trip is one row PER PARTITION (bounded, not data-sized);
     ties on ``order_col`` across partition boundaries are fine because range
-    partitioning puts equal keys in one partition.
+    partitioning puts equal keys in one partition.  Pass a LIST of order
+    columns (ending in a unique tie-breaker) when the leading key has ties and
+    the running sum must be bit-deterministic — within-tie accumulation order
+    is otherwise engine-dependent.
     """
-    rp = (
-        df.repartitionByRange(n_partitions, F.col(order_col))
-        if n_partitions
-        else df.repartitionByRange(F.col(order_col))
-    )
-    local = rp.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__local",
-        F.sum(value_col).over(
-            Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
-    )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    local = _stamped_local_cumsum(df, [], order_cols, value_col, n_partitions)
     local = tracked_persist(local)
     totals = {
         r["__pid"]: r["t"]
@@ -79,6 +137,63 @@ def with_global_cumsum(
     )
     return (
         local.join(F.broadcast(offsets), on="__pid", how="left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")).cast("long"),
+        )
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def with_keyed_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact PER-GROUP running sum without a one-task-per-group window.
+
+    ``Window.partitionBy(group)`` serializes each group into a single task —
+    at 100 TB a dominant stratum (a crawl source that is 80% of the corpus)
+    becomes one straggler task owning 80 TB.  Instead the same two-phase
+    prefix sum as :func:`with_global_cumsum`, keyed:
+
+    1. range-partition on ``(group, order)`` — each group spans MANY
+       partitions but stays contiguous, so every partition is bounded by
+       total-bytes/parallelism regardless of group skew;
+    2. local cumsums per ``(group, partition)``;
+    3. per-(group, partition) totals → driver (one row per group×partition —
+       bounded by the partition count, never by data) → per-group prefix
+       offsets over ascending partition id;
+    4. group-global offset broadcast-joined back on ``(group, __pid)``.
+
+    ``order_cols`` must end in a unique tie-breaker for bit-deterministic
+    output (same contract as :func:`with_global_cumsum`).
+    """
+    local = _stamped_local_cumsum(df, group_cols, order_cols, value_col, n_partitions)
+    local = tracked_persist(local)
+    totals = (
+        local.groupBy(*group_cols, "__pid").agg(F.sum(value_col).alias("__t")).collect()
+    )
+    acc: dict[tuple, int] = {}
+    offset_rows = []
+    for r in sorted(totals, key=lambda r: (tuple(str(r[g]) for g in group_cols), r["__pid"])):
+        key = tuple(r[g] for g in group_cols)
+        offset_rows.append((*key, r["__pid"], acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + (r["__t"] or 0)
+    by_name = {f.name: f.dataType for f in local.schema.fields}
+    base = T.StructType(
+        [T.StructField(g, by_name[g], True) for g in group_cols]
+        + [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__offset", T.LongType(), False),
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(offset_rows, base)
+    return (
+        local.join(F.broadcast(offsets), on=group_cols + ["__pid"], how="left")
         .withColumn(
             out_col,
             (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")).cast("long"),

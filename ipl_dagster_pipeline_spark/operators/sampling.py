@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .packing import with_global_cumsum, with_keyed_cumsum
 from .text_dedup import portable_hash
 
 GRANULARITY = 10_000
@@ -97,3 +98,129 @@ def sample_stratified(
     for name, frac in fractions.items():
         bound = F.when(F.col(strata_col) == name, F.lit(round(frac * granularity))).otherwise(bound)
     return df.filter(bucket < bound)
+
+
+def mixture_epochs(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    seed: int = 29,
+    out_col: str = "epoch",
+    granularity: int = GRANULARITY,
+) -> DataFrame:
+    """Mixture weighting with UPSAMPLING: repeat each row ``epochs[stratum]``
+    times, where the epoch count may be fractional and greater than 1.
+
+    The standard pretraining recipe (temperature-reweighted source mixtures)
+    needs e.g. 2.3 epochs of a small curated source and 0.6 epochs of a crawl
+    — in one deterministic pass: every row gets ``floor(e)`` copies plus one
+    more iff its hash bucket falls below ``frac(e)``, so the EXPECTED mass is
+    exact and the realized sample is bit-identical across engines, runs, and
+    parallelism (no RNG).  Each copy carries an ``epoch`` index so downstream
+    shuffling/packing can treat repeats as distinct examples.  Pure
+    projection + explode: zero shuffle at any corpus size.
+    """
+    for name, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs for stratum {name!r} must be >= 0, got {e}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+    bucket = split_bucket(F.col(key_col), seed, granularity)
+
+    def parts(e: float) -> tuple[int, int]:
+        whole = int(e)
+        return whole, round((e - whole) * granularity)
+
+    dw, db = parts(default_epochs)
+    whole_col, bound_col = F.lit(dw), F.lit(db)
+    for name, e in epochs.items():
+        w, b = parts(e)
+        is_s = F.col(strata_col) == name
+        whole_col = F.when(is_s, F.lit(w)).otherwise(whole_col)
+        bound_col = F.when(is_s, F.lit(b)).otherwise(bound_col)
+    n_copies = (whole_col + (bucket < bound_col).cast("int")).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    seed: int = 31,
+    cum_col: str = "cum_tokens",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Select a deterministic ≈``budget``-token subset per stratum: walk each
+    stratum's rows in portable-hash order (a deterministic shuffle) and keep
+    rows while the running token total stays within the stratum's budget.
+
+    This is the "give me 50B tokens of crawl, 5B of code" step of a data
+    recipe.  The running total is the hard part at scale: a naive
+    ``Window.partitionBy(source)`` plans ONE task per source — a dominant
+    source becomes a single straggler owning most of the corpus.  Uses the
+    keyed two-phase distributed prefix sum instead (`with_keyed_cumsum`):
+    per-(stratum, partition) local sums + a broadcast offset join, so skew in
+    the stratum histogram never concentrates work.  Strata absent from
+    ``budgets`` keep ``default_budget`` tokens (None = unlimited).
+    """
+    h = portable_hash(F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")), seed)
+    cum = with_keyed_cumsum(
+        df.withColumn("__h", h),
+        group_cols=[strata_col],
+        order_cols=["__h", key_col],
+        value_col=token_col,
+        out_col=cum_col,
+        n_partitions=n_partitions,
+    )
+    bound = F.lit(None).cast("long") if default_budget is None else F.lit(int(default_budget))
+    for name, b in budgets.items():
+        bound = F.when(F.col(strata_col) == name, F.lit(int(b))).otherwise(bound)
+    return cum.filter(bound.isNull() | (F.col(cum_col) <= bound)).drop("__h")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 37,
+    pos_col: str = "shuffle_pos",
+    shard_col: str = "shard",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + balanced shard assignment.
+
+    Training wants the corpus in a pseudo-random order, split into N
+    equal-size shards, reproducibly.  Hash order IS the shuffle; the global
+    position needs a corpus-wide row number, which a bare
+    ``Window.orderBy(...)`` plans as a SINGLE-partition window.  Computed
+    instead as a global prefix sum of 1s (`with_global_cumsum`: range
+    partition + local row numbers + broadcast offsets).  ``shuffle_pos`` is
+    the 0-based position in shuffled order; ``shard = pos % n_shards`` is
+    round-robin, so shard sizes differ by at most one row — no
+    hash-mod-imbalance.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = portable_hash(F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")), seed)
+    pos = with_global_cumsum(
+        df.withColumn("__h", h).withColumn("__one", F.lit(1)),
+        order_col=["__h", key_col],
+        value_col="__one",
+        out_col="__rn",
+        n_partitions=n_partitions,
+    )
+    return (
+        pos.withColumn(pos_col, (F.col("__rn") - 1).cast("long"))
+        .withColumn(shard_col, F.pmod(F.col(pos_col), F.lit(n_shards)).cast("int"))
+        .drop("__h", "__one", "__rn")
+    )

@@ -183,3 +183,80 @@ def test_sample_stratified_validates_fractions(spark):
     df = spark.range(5).withColumnRenamed("id", "k").withColumn("s", F.lit("a"))
     with pytest.raises(ValueError, match="must be in"):
         sample_stratified(df, "s", "k", {"a": 1.5})
+
+
+def test_mixture_epochs_copies_and_determinism(spark):
+    from ipl_dagster_pipeline_spark.operators.sampling import mixture_epochs, split_bucket
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)], ["k", "s"]
+    )
+    out = mixture_epochs(df, "s", "k", {"a": 0.0, "b": 2.0, "c": 1.5}, default_epochs=1.0)
+    rows = out.collect()
+    # a: dropped entirely; b: exactly 2 copies each (epochs 0 and 1)
+    assert not [r for r in rows if r.s == "a"]
+    b_rows = [r for r in rows if r.s == "b"]
+    assert len(b_rows) == 200 and {r.epoch for r in b_rows} == {0, 1}
+    # c: 1 or 2 copies; fractional share ~0.5 and every k keeps epoch 0
+    c_count = len([r for r in rows if r.s == "c"])
+    assert 100 <= c_count <= 200
+    assert {r.k for r in rows if r.s == "c" and r.epoch == 0} == {i for i in range(300) if i % 3 == 2}
+    # deterministic under repartitioning
+    again = mixture_epochs(df.repartition(13), "s", "k", {"a": 0.0, "b": 2.0, "c": 1.5})
+    assert sorted((r.k, r.epoch) for r in again.collect()) == sorted((r.k, r.epoch) for r in rows)
+    with pytest.raises(ValueError):
+        mixture_epochs(df, "s", "k", {"a": -0.1})
+
+
+def test_keyed_cumsum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from ipl_dagster_pipeline_spark.operators.packing import with_keyed_cumsum
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", (i * 37) % 11 + 1) for i in range(500)], ["k", "g", "v"]
+    )
+    got = {
+        (r.g, r.k): r.cs
+        for r in with_keyed_cumsum(
+            df, ["g"], ["k"], "v", out_col="cs", n_partitions=16
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {(r.g, r.k): r.cs for r in df.withColumn("cs", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_token_budget_select_respects_budgets(spark):
+    from ipl_dagster_pipeline_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", 10) for i in range(200)], ["k", "src", "n"]
+    )
+    out = token_budget_select(
+        df, "src", "k", "n", budgets={"s0": 300}, default_budget=55, n_partitions=8
+    ).collect()
+    s0 = [r for r in out if r.src == "s0"]
+    s1 = [r for r in out if r.src == "s1"]
+    assert len(s0) == 30 and max(r.cum_tokens for r in s0) == 300
+    assert len(s1) == 5 and max(r.cum_tokens for r in s1) == 50
+    # unlimited default keeps everything
+    full = token_budget_select(df, "src", "k", "n", budgets={"s0": 300}, n_partitions=8)
+    assert full.filter(F.col("src") == "s1").count() == 100
+
+
+def test_shuffle_shards_balanced_and_stable(spark):
+    from ipl_dagster_pipeline_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(257)], ["k"])
+    out = shuffle_shards(df, "k", n_shards=8, n_partitions=16)
+    rows = out.collect()
+    assert sorted(r.shuffle_pos for r in rows) == list(range(257))
+    sizes = sorted(
+        r["c"] for r in out.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    )
+    assert sizes[-1] - sizes[0] <= 1 and len(sizes) == 8
+    again = shuffle_shards(df.repartition(7), "k", n_shards=8, n_partitions=4).collect()
+    assert sorted((r.k, r.shuffle_pos, r.shard) for r in again) == sorted(
+        (r.k, r.shuffle_pos, r.shard) for r in rows
+    )
