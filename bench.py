@@ -49,6 +49,11 @@ EXTENDED = [
     "doc_contamination",
     "doc_hash_split",
     "media_sample_frames",
+    # round-3 additions: mixture/budget/shard recipe ops (keyed + global
+    # distributed prefix sums, single Arrow local-cumsum pass)
+    "doc_mixture_epochs",
+    "doc_token_budget",
+    "doc_shuffle_shards",
 ]
 
 

@@ -14,7 +14,9 @@ Scale shape per round:
 
 * one equi-join + one map-side-combined min-aggregation for the neighbor
   step, one self-equi-join on the (small) label table for the jump step —
-  no cross products, no driver-side graph;
+  no cross products, no driver-side graph; the previous label rides THROUGH
+  the aggregation (own-row carry), so convergence detection costs zero
+  extra joins or shuffles;
 * lineage is truncated every round (``localCheckpoint``) so the plan does
   not grow with iterations;
 * convergence is detected with an ``Observation`` on the SAME action that
@@ -59,13 +61,22 @@ def connected_components(
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("v")).distinct().withColumn("comp", F.col("v"))
 
+    comp_type = dict(labels.dtypes)["comp"]
     changed = 1
     for _ in range(max_rounds):
-        # 1) neighbor-min messages ride the same shuffle as the re-aggregation
+        # 1) neighbor-min messages ride the same shuffle as the re-aggregation.
+        # Each vertex's OWN row carries its current label as __old (messages
+        # carry null; max() recovers it through the agg), so convergence can
+        # be detected later without a third vertex-table join per round.
         msgs = sym.join(labels, sym["s"] == labels["v"]).select(
-            F.col("d").alias("v"), F.col("comp")
+            F.col("d").alias("v"),
+            F.col("comp"),
+            F.lit(None).cast(comp_type).alias("__old"),
         )
-        mins = labels.unionByName(msgs).groupBy("v").agg(F.min("comp").alias("comp"))
+        own = labels.select("v", "comp", F.col("comp").alias("__old"))
+        mins = own.unionByName(msgs).groupBy("v").agg(
+            F.min("comp").alias("comp"), F.max("__old").alias("__old")
+        )
         # 2) pointer jumping: L'(v) = L(L(v)).  Valid because labels only
         # decrease and every label value is itself a vertex of the same
         # component; composing the table with itself squares the distance
@@ -77,14 +88,12 @@ def connected_components(
                 on="comp",
                 how="left",
             )
-            .select("v", F.coalesce(F.col("__c2"), F.col("comp")).alias("comp"))
+            .select("v", F.coalesce(F.col("__c2"), F.col("comp")).alias("comp"), "__old")
         )
         obs = Observation()
-        new_labels = (
-            jumped.join(labels.select(F.col("v"), F.col("comp").alias("__old")), "v")
-            .observe(obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed"))
-            .select("v", "comp")
-        )
+        new_labels = jumped.observe(
+            obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed")
+        ).select("v", "comp")
         # one action per round: materialize + truncate lineage + convergence
         # count, all from the same job
         labels = new_labels.localCheckpoint(eager=True)

@@ -260,3 +260,20 @@ def test_shuffle_shards_balanced_and_stable(spark):
     assert sorted((r.k, r.shuffle_pos, r.shard) for r in again) == sorted(
         (r.k, r.shuffle_pos, r.shard) for r in rows
     )
+
+
+def test_keyed_cumsum_null_groups_and_values(spark):
+    from pyspark.sql import Window
+
+    from ipl_dagster_pipeline_spark.operators.packing import with_keyed_cumsum
+
+    rows = [(1, None, 5), (2, None, 7), (3, "g", None), (4, "g", 3), (5, "h", 2)]
+    df = spark.createDataFrame(rows, "k int, g string, v int")
+    got = {
+        (r.g, r.k): r.cs
+        for r in with_keyed_cumsum(df, ["g"], ["k"], "v", out_col="cs", n_partitions=3).collect()
+    }
+    # null group is ONE group (carry crosses batches/partitions); null values
+    # count as 0 so the running total stays defined
+    assert got[(None, 1)] == 5 and got[(None, 2)] == 12
+    assert got[("g", 3)] == 0 and got[("g", 4)] == 3 and got[("h", 5)] == 2
