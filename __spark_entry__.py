@@ -3066,3 +3066,59 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B19_ALL_ORACLES_FN()
     out.update(_B20_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 21 (round 3): exact per-group order statistics (corpus profiling).
+# Catalog-only; integer-exact lower-rank quantile selection so the DuckDB
+# value-hash holds bit-for-bit (no percentile interpolation).
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.profiling import group_quantiles
+
+_QP = {"p25": 25, "p50": 50, "p90": 90}
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length profile: exact lower-rank p25/p50/p90 of n_chars
+    selected by integer rank arithmetic over a KEYED distributed prefix-sum
+    ranking — never percentile_approx, never a one-task-per-source sort."""
+    docs = _read(spark, sf_dir, "documents")
+    return group_quantiles(
+        docs, group_cols=["source"], value_col="n_chars", key_col="doc_id",
+        percents=_QP, count_col="n_docs",
+    )
+
+
+_QP_SELECTS = ",\n       ".join(
+    f"CAST(max(CASE WHEN rnk = ((n - 1) * {p}) // 100 + 1 THEN n_chars END) AS BIGINT) AS {name}"
+    for name, p in _QP.items()
+)
+
+SQL_LENGTH_QUANTILES = f"""
+WITH r AS (
+    SELECT source, n_chars, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars ASC NULLS FIRST, doc_id) AS rnk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       {_QP_SELECTS}
+FROM r
+GROUP BY source
+"""
+
+_B20_ALL_QUERIES_FN = all_queries
+_B20_ALL_ORACLES_FN = all_oracle_sql
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B20_ALL_QUERIES_FN()
+    out.update({"doc_length_quantiles": q_doc_length_quantiles})
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B20_ALL_ORACLES_FN()
+    out.update({"doc_length_quantiles": SQL_LENGTH_QUANTILES})
+    return out

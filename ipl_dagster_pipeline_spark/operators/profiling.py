@@ -1,0 +1,77 @@
+"""Corpus profiling: exact per-group order statistics at scale.
+
+A data recipe wants per-source distribution facts (length quantiles, token
+quantiles) that are EXACT and engine-portable — ``percentile_approx`` is
+neither (approximate, implementation-defined), and the exact built-in
+``percentile`` interpolates in floating point, which no cross-engine
+value-hash survives.  ``group_quantiles`` instead selects the lower-rank
+(type-1) quantile element with pure integer arithmetic:
+
+* per-group rank in ``(value, key)`` order via the KEYED two-phase
+  distributed prefix sum (`packing.with_keyed_cumsum`) — never a
+  one-task-per-group window, so a source holding 80% of the corpus cannot
+  straggle;
+* the quantile row index is ``((n - 1) * p) DIV 100`` — integer-exact in
+  any engine, no float rounding;
+* the rows matching a quantile rank (a handful per group) are filtered
+  FIRST, so the final per-group pivot aggregates only ``len(percents)``
+  rows per group.
+
+The reference profiles availability_status distributions with pandas
+value_counts (lamassu.py:306-311); this is the distributed order-statistics
+generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .packing import with_keyed_cumsum
+
+DEFAULT_PERCENTS = {"p25": 25, "p50": 50, "p90": 90}
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    percents: dict[str, int] | None = None,
+    count_col: str = "n_rows",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One row per group: group cols, ``count_col``, and one column per entry
+    of ``percents`` holding the exact lower-rank quantile of ``value_col``.
+
+    ``key_col`` breaks value ties so ranks are total and the selected element
+    is deterministic on any engine at any parallelism.
+    """
+    percents = percents or DEFAULT_PERCENTS
+    for name, p in percents.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"percent for {name!r} must be in [0, 100], got {p}")
+    ranked = with_keyed_cumsum(
+        df.select(*group_cols, value_col, key_col).withColumn("__one", F.lit(1)),
+        group_cols=group_cols,
+        order_cols=[value_col, key_col],
+        value_col="__one",
+        out_col="__rank",
+        n_partitions=n_partitions,
+    )
+    counts = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(F.broadcast(counts), on=group_cols)
+    sels = {
+        name: F.expr(f"CAST(((__n - 1) * {p}) DIV 100 AS BIGINT) + 1")
+        for name, p in percents.items()
+    }
+    hit_any = None
+    for sel in sels.values():
+        cond = F.col("__rank") == sel
+        hit_any = cond if hit_any is None else (hit_any | cond)
+    hits = j.filter(hit_any)
+    aggs = [F.max("__n").cast("long").alias(count_col)] + [
+        F.max(F.when(F.col("__rank") == sel, F.col(value_col))).alias(name)
+        for name, sel in sels.items()
+    ]
+    return hits.groupBy(*group_cols).agg(*aggs)

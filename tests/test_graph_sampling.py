@@ -277,3 +277,23 @@ def test_keyed_cumsum_null_groups_and_values(spark):
     # count as 0 so the running total stays defined
     assert got[(None, 1)] == 5 and got[(None, 2)] == 12
     assert got[("g", 3)] == 0 and got[("g", 4)] == 3 and got[("h", 5)] == 2
+
+
+def test_group_quantiles_exact_lower_rank(spark):
+    from ipl_dagster_pipeline_spark.operators.profiling import group_quantiles
+
+    # group a: values 10..109 (n=100): p25 idx floor(99*.25)=24 -> 34;
+    # p50 idx 49 -> 59; p90 idx 89 -> 99.  group b: single row.
+    rows = [(i, "a", 10 + i) for i in range(100)] + [(1000, "b", 7)]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    got = {
+        r.g: r
+        for r in group_quantiles(
+            df, ["g"], "v", "k", {"p25": 25, "p50": 50, "p90": 90}, count_col="n", n_partitions=8
+        ).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a.n, a.p25, a.p50, a.p90) == (100, 34, 59, 99)
+    assert (b.n, b.p25, b.p50, b.p90) == (1, 7, 7, 7)
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["g"], "v", "k", {"bad": 101})

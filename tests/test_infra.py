@@ -170,7 +170,7 @@ def test_driver_contract_consistency():
     # every merged-away original is still runnable via the full catalog
     all_qs, all_oracles = em.all_queries(), em.all_oracle_sql()
     assert set(qs) <= set(all_qs) and set(oracles) <= set(all_oracles)
-    assert len(all_qs) == 81 and len(all_oracles) == 78
+    assert len(all_qs) == 82 and len(all_oracles) == 79
 
 
 def test_no_per_row_python_udfs():
