@@ -11,6 +11,11 @@ Checkpointed stages (atomic snapshot commit + lineage per stage; rerun = resume)
     groups     connected components over the pair graph → (member, keeper)
     curated    keeper docs only, quality-filtered, with a deterministic
                train/val/test fold — the publishable training corpus
+    sharded    (with --shards N) deterministic global shuffle position +
+               round-robin shard per doc, for balanced training shards
+
+``--token-budget N`` caps each source at N tokens (deterministic hash-order
+walk under the keyed distributed prefix sum) before the fold split.
 """
 
 from __future__ import annotations
@@ -27,7 +32,11 @@ from ipl_dagster_pipeline_spark.checkpoint import CheckpointedPipeline
 from ipl_dagster_pipeline_spark.metrics import total_from_lineage
 from ipl_dagster_pipeline_spark.operators.cleaning import curate_keepers
 from ipl_dagster_pipeline_spark.operators.graph import duplicate_groups
-from ipl_dagster_pipeline_spark.operators.sampling import hash_split
+from ipl_dagster_pipeline_spark.operators.sampling import (
+    hash_split,
+    shuffle_shards,
+    token_budget_select,
+)
 from ipl_dagster_pipeline_spark.operators.text_dedup import exact_dedup, minhash_lsh_dedup
 from ipl_dagster_pipeline_spark.operators.textstats import (
     with_lang_id,
@@ -44,6 +53,10 @@ def main() -> None:
     ap.add_argument("--force", action="store_true", help="recompute all stages")
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--min-alpha-ratio", type=float, default=0.5)
+    ap.add_argument("--token-budget", type=int, default=0,
+                    help="per-source token cap applied before the fold split (0 = unlimited)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="emit a sharded stage with shuffle position + shard id (0 = skip)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="ipl-corpus-dedup")
@@ -60,12 +73,17 @@ def main() -> None:
     def _curate():
         # eligibility first (exact keeper + quality), then near-dup keepers
         # re-keyed to surviving members — see cleaning.curate_keepers
-        return hash_split(
-            curate_keepers(stats, exact, groups, min_alpha_ratio=args.min_alpha_ratio),
-            "doc_id",
-        )
+        kept = curate_keepers(stats, exact, groups, min_alpha_ratio=args.min_alpha_ratio)
+        if args.token_budget:
+            kept = token_budget_select(
+                kept, "source", "doc_id", "n_ws_tokens",
+                budgets={}, default_budget=args.token_budget,
+            )
+        return hash_split(kept, "doc_id")
 
     curated = pipe.stage("curated", _curate)
+    if args.shards:
+        pipe.stage("sharded", lambda: shuffle_shards(curated, "doc_id", args.shards))
 
     for stage in pipe.completed_stages():
         rows, checksum = total_from_lineage(spark, pipe.lineage_path, stage)

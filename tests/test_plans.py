@@ -73,3 +73,28 @@ def test_lsh_paths_have_no_nested_loop_joins(spark):
         counts = _node_counts(spark, df)
         assert counts.get("CartesianProduct", 0) == 0, counts
         assert counts.get("BroadcastNestedLoopJoin", 0) == 0, counts
+
+
+def test_prefix_sum_plans_have_single_data_exchange(spark):
+    """Scale contract: the two-phase prefix sums move the data exactly ONCE
+    (the range exchange).  A Window.partitionBy(__pid) variant makes Catalyst
+    add a second full-data hash exchange after the range partition — this
+    test pins the Arrow-local-cumsum plan that avoids it.  The only hash
+    exchanges allowed are broadcast-side/offset plumbing: zero on the final
+    frame's data path."""
+    from ipl_dagster_pipeline_spark.operators.packing import (
+        with_global_cumsum,
+        with_keyed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i % 7) for i in range(100)], ["k", "g", "v"]
+    )
+    for out in (
+        with_global_cumsum(df, ["k"], "v", n_partitions=4),
+        with_keyed_cumsum(df, ["g"], ["k"], "v", n_partitions=4),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "BroadcastExchange" in plan  # offsets join stays broadcast
+        assert "SinglePartition" not in plan
