@@ -2699,6 +2699,13 @@ _B16_ORACLES_FN = oracle_sql
 # The 50 gate entries, previously-unchecked capability classes FIRST (the
 # driver checks the first 50 in insertion order).
 DRIVER_QUERY_ORDER = [
+    # --- round-3 additions (new capability classes, hard driver rows) ---
+    "doc_mixture_epochs",
+    "doc_token_budget",
+    "doc_shuffle_shards",
+    "doc_length_quantiles",
+    "doc_stratified_sample",
+    "emb_lsh_topk_oracle",
     # --- capability classes with no round-2 driver row ---
     "emb_dup_components",
     "emb_ann_parity",
@@ -2719,7 +2726,6 @@ DRIVER_QUERY_ORDER = [
     "rich_features",
     "lag_lead_features",
     "rolling_features",
-    "backfill_ffill",
     "sessionize_parity",
     "session_aggregates",
     # --- as-of strategies (4 paths across 2 parity entries) ---
@@ -2727,22 +2733,17 @@ DRIVER_QUERY_ORDER = [
     "asof_dim_parity",
     # --- dedup / ranking / schema / scalars ---
     "dedup_turns",
-    "top3_turns_per_conv",
     "schema_enforce",
     "scalar_functions",
     "scalar_suite",
     # --- relational core ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_revenue_enriched",
     "join_filters",
     "pivot_order_status",
     "union_entities",
     "temporal_filter",
-    "map_lookup_classes",
     "json_extract_props",
-    "word_counts",
-    "hourly_tumbling",
     "salted_agg_by_conv",
     "user_event_stats",
     "prefer_first_lang",

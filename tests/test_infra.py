@@ -150,8 +150,14 @@ def test_driver_contract_consistency():
     assert set(qs) - set(oracles) == {"emb_ann_parity"}
     assert len(qs) == 50 and len(oracles) == 49
     assert list(qs) == em.DRIVER_QUERY_ORDER
-    # the 14 capability classes without a round-2 driver row come first
-    assert list(qs)[:14] == [
+    # round-3 classes first, then the 14 without a round-2 driver row
+    assert list(qs)[:20] == [
+        "doc_mixture_epochs",
+        "doc_token_budget",
+        "doc_shuffle_shards",
+        "doc_length_quantiles",
+        "doc_stratified_sample",
+        "emb_lsh_topk_oracle",
         "emb_dup_components",
         "emb_ann_parity",
         "doc_hash_split",
