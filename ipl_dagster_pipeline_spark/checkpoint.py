@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .caching import release_tracked
+from .caching import tracked_scope
 from .io import SnapshotTable
 from .metrics import append_lineage, partition_lineage
 
@@ -60,12 +60,14 @@ class CheckpointedPipeline:
         tbl = self.table(name)
         if not self.force and tbl.current_snapshot_id() is not None:
             return tbl.read(self.spark)
-        df = fn()
-        snap_id = tbl.commit(df, partition_by=partition_by)
-        # the commit IS the consuming action — release every intermediate the
-        # stage persisted (MinHash shingles, LSH buckets, prefix-sum locals)
-        # so a multi-stage run never accumulates executor storage
-        release_tracked()
+        # the commit IS the consuming action — scope every intermediate the
+        # stage persists (MinHash shingles, LSH buckets, prefix-sum locals)
+        # so a multi-stage run never accumulates executor storage; the SCOPE
+        # (not the global registry) owns the frames, so a concurrent pipeline
+        # in the same session can't have its caches yanked by this stage
+        with tracked_scope():
+            df = fn()
+            snap_id = tbl.commit(df, partition_by=partition_by)
         committed = tbl.read(self.spark)
         if emit_lineage:
             append_lineage(partition_lineage(committed, name, snapshot_id=snap_id), self.lineage_path)

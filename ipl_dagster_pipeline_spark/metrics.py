@@ -40,11 +40,61 @@ def register_observation(prefix: str) -> Observation:
     return obs
 
 
+def _probe_completed(obs: Observation, deadline: float) -> bool | None:
+    """True/False = the pinned-Spark private probe (``obs._jo.future()``)
+    says completed / not completed by ``deadline``; None = the probe API is
+    gone (Spark upgrade drift) — caller must use the public fallback."""
+    import time
+
+    jo = getattr(obs, "_jo", None)
+    if jo is None:  # never attached to a DataFrame — definitively not run
+        return False
+    try:
+        while not jo.future().isCompleted():
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(0.02)
+        return True
+    except Exception:  # private API drifted — signal "probe unavailable"
+        return None
+
+
+def _get_with_timeout(obs: Observation, timeout_secs: float) -> dict | None:
+    """Public-API fallback for drifted Spark: ``obs.get`` on a daemon thread
+    bounded by ``timeout_secs``.  ``obs.get`` blocks forever if the observing
+    action never ran — the daemon thread caps that at one (leaked, idle)
+    thread per un-run observation instead of blocking the pipeline."""
+    import threading
+
+    box: list[dict] = []
+
+    def fetch() -> None:
+        try:
+            box.append(obs.get)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=fetch, daemon=True)
+    t.start()
+    t.join(max(timeout_secs, 0.05))
+    return box[0] if box else None
+
+
 def observed_metrics(prefix: str, timeout_secs: float = 1.0) -> dict[str, dict]:
     """All collected metrics for observations registered under ``prefix``
     whose action has already executed (un-executed ones are skipped; metric
     delivery is listener-async, so attached-but-not-yet-delivered ones are
     polled up to ``timeout_secs``).
+
+    Successfully read observations are CONSUMED (dropped from the registry):
+    repeated polls in a long-lived session — bench loops, streaming
+    foreachBatch — neither leak JVM-backed Observation objects nor report
+    stale counts from earlier queries.  Un-run ones stay registered.
+
+    Probe order: the pinned-Spark completion probe (``obs._jo.future()``,
+    non-blocking) first; if that private API disappears in a Spark upgrade,
+    the public ``obs.get`` bounded by a daemon-thread timeout — cap-honesty
+    degrades to a bounded wait, never to silently-off (round-3 verdict #3).
 
     Caveat: an observation attached to a plan branch that AQE prunes away
     entirely (e.g. empty-relation propagation when EVERY bucket was dropped)
@@ -56,23 +106,34 @@ def observed_metrics(prefix: str, timeout_secs: float = 1.0) -> dict[str, dict]:
     for name, obs in list(STAGE_OBSERVATIONS.items()):
         if not name.startswith(prefix):
             continue
-        jo = getattr(obs, "_jo", None)
-        if jo is None:  # never attached to a DataFrame
+        ready = _probe_completed(obs, deadline)
+        if ready is False:
             continue
-        try:
-            while not jo.future().isCompleted():  # action not yet run
-                if time.monotonic() >= deadline:
-                    break
-                time.sleep(0.02)
-            if not jo.future().isCompleted():
+        if ready is None:  # API drift — public fallback with bounded wait
+            if getattr(obs, "_jo", None) is None:
                 continue
-        except Exception:  # API without the probe — skip rather than block
+            row = _get_with_timeout(obs, deadline - time.monotonic())
+            if row is None:
+                continue
+            out[name] = row
+            STAGE_OBSERVATIONS.pop(name, None)
             continue
         try:
             out[name] = obs.get
         except Exception:  # completed without a readable row — skip
             continue
+        STAGE_OBSERVATIONS.pop(name, None)
     return out
+
+
+def clear_observations(prefix: str = "") -> int:
+    """Drop registered observations matching ``prefix`` (all by default) —
+    the explicit stage-boundary hook for long-lived sessions; returns how
+    many were dropped."""
+    names = [n for n in STAGE_OBSERVATIONS if n.startswith(prefix)]
+    for n in names:
+        STAGE_OBSERVATIONS.pop(n, None)
+    return len(names)
 
 
 def _row_checksum(df: DataFrame) -> F.Column:

@@ -192,13 +192,27 @@ def with_keyed_cumsum(
         ]
     )
     offsets = df.sparkSession.createDataFrame(offset_rows, base)
+    # NULL-SAFE join: a plain equi-join on the group cols never matches a
+    # NULL stratum (null = null is never true in SQL), so a null group
+    # spanning partitions would silently restart its running sum per
+    # partition.  eqNullSafe keys still plan a broadcast HASH join (Catalyst
+    # extracts EqualNullSafe as join keys), so the physical shape is
+    # unchanged: one broadcast of P·G rows, zero extra exchange.
+    offsets = offsets.select(
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(group_cols)],
+        F.col("__pid").alias("__opid"),
+        "__offset",
+    )
+    cond = local["__pid"] == offsets["__opid"]
+    for i, g in enumerate(group_cols):
+        cond = cond & local[g].eqNullSafe(offsets[f"__og_{i}"])
     return (
-        local.join(F.broadcast(offsets), on=group_cols + ["__pid"], how="left")
+        local.join(F.broadcast(offsets), on=cond, how="left")
         .withColumn(
             out_col,
             (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")).cast("long"),
         )
-        .drop("__pid", "__local", "__offset")
+        .drop("__pid", "__opid", "__local", "__offset", *[f"__og_{i}" for i in range(len(group_cols))])
     )
 
 

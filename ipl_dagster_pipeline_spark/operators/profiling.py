@@ -59,8 +59,26 @@ def group_quantiles(
         out_col="__rank",
         n_partitions=n_partitions,
     )
+    # NULL-SAFE counts join: a plain inner equi-join would drop the whole
+    # NULL group (null = null never matches), silently erasing a null
+    # stratum from the profile while a SQL GROUP BY keeps it.  eqNullSafe
+    # keys still hash-join against the broadcast counts frame.
+    #
+    # The counts side is one row per group — broadcast assumes the group
+    # cardinality is broadcast-sized (sources/languages/buckets: thousands,
+    # not billions).  A group-key with data-scale cardinality would OOM the
+    # driver here LOUDLY at the collect inside broadcast, not silently skew.
     counts = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-    j = ranked.join(F.broadcast(counts), on=group_cols)
+    counts = counts.select(
+        *[F.col(g).alias(f"__cg_{i}") for i, g in enumerate(group_cols)], "__n"
+    )
+    cond = None
+    for i, g in enumerate(group_cols):
+        c = ranked[g].eqNullSafe(counts[f"__cg_{i}"])
+        cond = c if cond is None else (cond & c)
+    j = ranked.join(F.broadcast(counts), on=cond).drop(
+        *[f"__cg_{i}" for i in range(len(group_cols))]
+    )
     sels = {
         name: F.expr(f"CAST(((__n - 1) * {p}) DIV 100 AS BIGINT) + 1")
         for name, p in percents.items()

@@ -267,6 +267,95 @@ def ivf_topk(
     )
 
 
+def ivf_topk_pinned(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 43,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a PINNED deterministic coarse quantizer —
+    the value-hash-oracle-able sibling of :func:`ivf_topk`.
+
+    ``ivf_topk``'s k-means quantizer is learned and engine-internal, so no
+    cross-engine oracle can replay it.  Here the quantizer cells are seeded by
+    the corpus itself: centroid ``c`` is the corpus vector with the
+    ``c``-th smallest ``(portable_hash(id, seed), id)`` — a deterministic
+    uniform sample of corpus points (medoid-style seeding, the same
+    construction k-means++ initializes from).  Every step is replayable in
+    ANSI SQL: same hash, same rounded-distance argmin, same probe ranking,
+    same exact cosine re-rank.
+
+    Scale shape: centroid selection is a global top-``n_clusters``
+    (TakeOrdered — k·dim doubles to the driver, bounded by the cluster count,
+    never by data); cell assignment and query probing are PURE PROJECTIONS
+    against centroid literals (zero shuffle over the corpus); candidate fetch
+    is a broadcast hash join of the tiny (query × n_probe) probe table
+    against the assigned corpus — the corpus is never re-shuffled.  All
+    distances are computed with the same sequential-fold expression shape on
+    both engines and rounded to 6 dp BEFORE any argmin/ranking, with
+    cell-id / neighbor-id tie-breaks, so ordering decisions are
+    bit-reproducible.
+    """
+    from pyspark.sql import Window
+
+    from .text_dedup import portable_hash
+
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    h = portable_hash(F.coalesce(F.col(id_col).cast("string"), F.lit("<null>")), seed)
+    seed_rows = (
+        base.withColumn("__h", h).orderBy("__h", id_col).limit(n_clusters).select("v").collect()
+    )
+    cents = [(c, [float(x) for x in r["v"]]) for c, r in enumerate(seed_rows)]
+
+    def dist_to(cvals: list[float]):
+        clit = F.array(*[F.lit(x) for x in cvals])
+        v = F.col("v")
+        # identical association on both engines: (v·v - 2(v·c)) + c·c
+        return F.round((_dot(v, v) - F.lit(2.0) * _dot(v, clit)) + _dot(clit, clit), 6)
+
+    darr = F.array(
+        *[
+            F.struct(dist_to(cvals).alias("d"), F.lit(c).cast("int").alias("cell"))
+            for c, cvals in cents
+        ]
+    )
+    withd = base.withColumn("__darr", darr)
+    assigned = withd.withColumn("cell", F.array_min("__darr").getField("cell")).select(
+        id_col, "v", "cell"
+    )
+    probes = (
+        withd.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort("__darr"), 1, n_probe),
+                    lambda s: s.getField("cell"),
+                )
+            ).alias("cell"),
+        )
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    pairs = cand.join(F.broadcast(q), on="query_id").withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.4,

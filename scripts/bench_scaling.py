@@ -147,10 +147,40 @@ def _gate_reading(variance_files: list[str]) -> str:
         out += (
             f"* **Target met outright**: `{name_e}` measures **{e['scaling_efficiency']}**\n"
             f"  median efficiency ({e['speedup']}x speedup) — above the 0.8 criterion.\n"
-            f"  Caveat disclosed: its 8-core phase ran in a slowed window (job reps\n"
-            f"  above the cross-run norm), which inflates the ratio the same way a\n"
-            f"  slowed 32-core phase deflates it in other runs.\n"
         )
+        # derive the slow-8-core caveat from the run's own per-rep data
+        # instead of asserting it unconditionally: (a) within-run dispersion
+        # (median 8-core job rep far above the run's best rep), or (b) the
+        # cross-run norm over same-input runs.  Emit it only when it holds.
+        slow_signals = []
+        if e.get("sec_8_best") and e["sec_8"] > 1.25 * e["sec_8_best"]:
+            slow_signals.append(
+                f"median 8-core rep {e['sec_8']}s vs its own best {e['sec_8_best']}s"
+            )
+        same_rows = [
+            r[1]["sec_8"]
+            for r in runs
+            if r[0] != name_e and r[1].get("rows") == e.get("rows") and r[1].get("sec_8")
+        ]
+        if same_rows:
+            norm = sorted(same_rows)[len(same_rows) // 2]
+            if e["sec_8"] > 1.15 * norm:
+                slow_signals.append(
+                    f"median 8-core phase {e['sec_8']}s vs cross-run norm {norm}s"
+                )
+        if slow_signals:
+            out += (
+                f"  Caveat (derived from per-rep data): its 8-core phase ran in a\n"
+                f"  slowed window ({'; '.join(slow_signals)}), which inflates the\n"
+                f"  ratio the same way a slowed 32-core phase deflates it in other\n"
+                f"  runs.\n"
+            )
+        else:
+            out += (
+                "  Per-rep check: its 8-core phase is consistent with the run's own\n"
+                "  best rep and the cross-run norm — no slow-window inflation\n"
+                "  detected.\n"
+            )
     else:
         out += (
             f"* Best measured median efficiency: `{name_e}` at "

@@ -139,18 +139,19 @@ def test_identifier_safety_guard():
 
 def test_driver_contract_consistency():
     """The exported gate is EXACTLY 50 entries (the driver checks the first
-    50 in insertion order), previously-unchecked capability classes first;
-    the only rows-only entry is the approximate-ANN parity union (which
-    carries in-row invariants instead).  The un-merged catalog stays a
-    superset for bench/debugging."""
+    50 in insertion order), previously-unchecked capability classes first.
+    Round 4: every gate entry has a value-hash oracle — zero rows-only rows
+    (the learned-k-means ANN parity union stays catalog-only; the pinned
+    deterministic IVF quantizer took its gate slot).  The un-merged catalog
+    stays a superset for bench/debugging."""
     import __spark_entry__ as em
 
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    assert set(qs) - set(oracles) == {"emb_ann_parity"}
-    assert len(qs) == 50 and len(oracles) == 49
+    assert set(qs) - set(oracles) == set()  # 50/50 fully value-hashed
+    assert len(qs) == 50 and len(oracles) == 50
     assert list(qs) == em.DRIVER_QUERY_ORDER
-    # round-3 classes first, then the 14 without a round-2 driver row
+    # round-3/4 classes first, then the 14 without a round-2 driver row
     assert list(qs)[:20] == [
         "doc_mixture_epochs",
         "doc_token_budget",
@@ -158,8 +159,8 @@ def test_driver_contract_consistency():
         "doc_length_quantiles",
         "doc_stratified_sample",
         "emb_lsh_topk_oracle",
+        "emb_ivf_topk_oracle",
         "emb_dup_components",
-        "emb_ann_parity",
         "doc_hash_split",
         "doc_winnow_fingerprints",
         "doc_collapse_repeats",
@@ -176,7 +177,11 @@ def test_driver_contract_consistency():
     # every merged-away original is still runnable via the full catalog
     all_qs, all_oracles = em.all_queries(), em.all_oracle_sql()
     assert set(qs) <= set(all_qs) and set(oracles) <= set(all_oracles)
-    assert len(all_qs) == 82 and len(all_oracles) == 79
+    # rows-only catalog entries: exactly the approximate/learned ANN family
+    assert set(all_qs) - set(all_oracles) == {
+        "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
+    }
+    assert len(all_qs) == 83 and len(all_oracles) == 80
 
 
 def test_no_per_row_python_udfs():

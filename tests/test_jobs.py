@@ -1,0 +1,77 @@
+"""End-to-end spark-submit job surface: the full curation pipeline with the
+round-3 recipe flags (--token-budget, --shards), checkpoint-resume, and
+deterministic stage checksums across a forced recompute."""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+
+from ipl_dagster_pipeline_spark.checkpoint import CheckpointedPipeline
+from ipl_dagster_pipeline_spark.metrics import total_from_lineage
+
+STAGES = ["curated", "exact", "groups", "pairs", "sharded", "stats"]
+
+
+def _run_job(monkeypatch, out_dir: str, *extra: str) -> None:
+    import jobs.corpus_dedup as job
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "corpus_dedup.py",
+            "--input", "/root/testdata/sf0.001",
+            "--output", out_dir,
+            "--token-budget", "400",
+            "--shards", "4",
+            *extra,
+        ],
+    )
+    job.main()
+
+
+def _checksums(spark, root: str) -> dict[str, tuple[int, int]]:
+    pipe = CheckpointedPipeline(spark, root)
+    return {s: total_from_lineage(spark, pipe.lineage_path, s) for s in STAGES}
+
+
+def test_corpus_job_budget_shards_resume_and_determinism(spark, monkeypatch, tmp_path):
+    """Run the job with both recipe flags; assert (a) the budget stage caps
+    every source's running token total, (b) shards are round-robin balanced,
+    (c) a rerun RESUMES (no new snapshots, checksums unchanged), and (d) a
+    --force recompute reproduces bit-identical stage checksums — the
+    determinism the 'resumable from checkpoint' north rule depends on."""
+    out = str(tmp_path / "corpus")
+    _run_job(monkeypatch, out)
+
+    pipe = CheckpointedPipeline(spark, out)
+    assert pipe.completed_stages() == STAGES
+    first = _checksums(spark, out)
+    assert all(rows > 0 for rows, _ in first.values())
+
+    curated = pipe.table("curated").read(spark)
+    over = curated.filter(F.col("cum_tokens") > 400).count()
+    assert over == 0, "token budget exceeded"
+    assert set(r.split for r in curated.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+    sharded = pipe.table("sharded").read(spark)
+    sizes = sorted(
+        r.n for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    )
+    assert len(sizes) == 4 and sizes[-1] - sizes[0] <= 1
+    assert sharded.count() == curated.count()
+
+    # (c) resume: nothing recomputed, no lineage appended, checksums stable
+    snaps_before = {s: pipe.table(s).current_snapshot_id() for s in STAGES}
+    _run_job(monkeypatch, out)
+    assert {s: pipe.table(s).current_snapshot_id() for s in STAGES} == snaps_before
+    assert _checksums(spark, out) == first
+
+    # (d) forced recompute: new snapshots, identical rows + checksums
+    _run_job(monkeypatch, out, "--force")
+    assert {s: pipe.table(s).current_snapshot_id() for s in STAGES} != snaps_before
+    assert _checksums(spark, out) == first

@@ -214,6 +214,36 @@ def test_ivf_topk_recall_and_subset(emb):
     assert (ann1[common] <= bf1[common] + 1e-9).all()
 
 
+def test_ivf_topk_pinned_recall_subset_and_determinism(emb):
+    """The pinned-quantizer IVF sibling: same recall/subset invariants as the
+    learned path, PLUS bit-determinism under repartitioning (the property the
+    value-hash oracle depends on)."""
+    from ipl_dagster_pipeline_spark.operators.similarity import ivf_topk_pinned
+
+    qids = list(range(20))
+    bf = cosine_topk_bruteforce(emb, qids, k=5).toPandas()
+    ann = ivf_topk_pinned(emb, qids, k=5, n_clusters=16, n_probe=4).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ann_set = set(zip(ann.query_id, ann.neighbor_id))
+    recall = len(bf_set & ann_set) / len(bf_set)
+    # hash-seeded medoid cells, 4/16 probed — same candidate mass as learned
+    # IVF; the band is meaningful (well below 1.0, far above degenerate)
+    assert 0.3 <= recall <= 0.98, f"recall {recall}"
+    bf1 = bf.set_index(["query_id", "rnk"]).cos
+    ann1 = ann.set_index(["query_id", "rnk"]).cos
+    common = bf1.index.intersection(ann1.index)
+    assert (ann1[common] <= bf1[common] + 1e-9).all()
+    # bit-determinism at different parallelism (centroids, assignment, probes
+    # and re-rank are all pure functions of the data + seed)
+    again = ivf_topk_pinned(
+        emb.repartition(7), qids, k=5, n_clusters=16, n_probe=4
+    ).toPandas()
+    key = ["query_id", "rnk"]
+    assert sorted(map(tuple, ann[key + ["neighbor_id", "cos"]].values.tolist())) == sorted(
+        map(tuple, again[key + ["neighbor_id", "cos"]].values.tolist())
+    )
+
+
 def test_media_resize_and_frame_sample_plumbing(docs):
     from ipl_dagster_pipeline_spark.operators.multimodal import resize_images, sample_frames
 
@@ -307,6 +337,70 @@ def test_lsh_dropped_buckets_are_observable(spark):
     assert any(
         m.get("dropped_band_rows", 0) == 48 and m.get("band_rows") == 72 for m in got.values()
     ), got
+
+
+def test_tracked_scope_isolates_concurrent_pipelines(spark):
+    """ADVICE (round 3): release_tracked() from one pipeline must not
+    unpersist frames another concurrently running pipeline still reads.
+    Scoped persists belong to their scope, not the global registry."""
+    from ipl_dagster_pipeline_spark.caching import (
+        release_tracked,
+        tracked_persist,
+        tracked_scope,
+    )
+
+    release_tracked(blocking=True)
+    with tracked_scope(blocking=True):
+        mine = tracked_persist(spark.range(50).selectExpr("id", "id * 2 AS v"))
+        mine.count()
+        assert mine.storageLevel.useMemory
+        # another pipeline's global release: must NOT touch the scoped frame
+        assert release_tracked(blocking=True) == 0
+        assert mine.storageLevel.useMemory
+    # scope exit released it
+    assert not mine.storageLevel.useMemory
+    # unscoped persists still go to (and release from) the global registry
+    glob = tracked_persist(spark.range(10))
+    assert release_tracked(blocking=True) == 1
+    assert not glob.storageLevel.useMemory
+
+
+def test_observed_metrics_survive_probe_drift(spark, monkeypatch):
+    """Round-3 verdict #3: cap-honesty must not turn silently off if the
+    private ``obs._jo.future()`` probe disappears in a Spark upgrade.  With
+    the probe disabled (simulated drift), the public-API fallback still
+    delivers the observation; consumed entries leave the registry (ADVICE:
+    no unbounded Observation growth in long-lived sessions)."""
+    from ipl_dagster_pipeline_spark import metrics
+
+    monkeypatch.setattr(metrics, "_probe_completed", lambda obs, deadline: None)
+    obs = metrics.register_observation("drifted_cap")
+    name = [n for n in metrics.STAGE_OBSERVATIONS if n.startswith("drifted_cap")][-1]
+    df = spark.range(0, 100).observe(obs, F.count(F.lit(1)).alias("rows"))
+    df.count()
+    got = metrics.observed_metrics("drifted_cap", timeout_secs=5.0)
+    assert got[name] == {"rows": 100}
+    # consumed-on-read: gone from the registry, second poll returns nothing
+    assert name not in metrics.STAGE_OBSERVATIONS
+    assert metrics.observed_metrics("drifted_cap") == {}
+
+
+def test_observation_registry_bounded_and_clearable(spark):
+    """Un-run observations stay registered (absent != zero) but are
+    explicitly clearable at stage boundaries; run ones are consumed."""
+    from ipl_dagster_pipeline_spark import metrics
+
+    metrics.clear_observations("bound_test")
+    never_run = metrics.register_observation("bound_test_idle")
+    ran = metrics.register_observation("bound_test_ran")
+    spark.range(7).observe(ran, F.count(F.lit(1)).alias("rows")).count()
+    got = metrics.observed_metrics("bound_test", timeout_secs=5.0)
+    assert [m["rows"] for m in got.values()] == [7]
+    # the never-attached observation is still registered, then cleared
+    assert any(n.startswith("bound_test_idle") for n in metrics.STAGE_OBSERVATIONS)
+    assert metrics.clear_observations("bound_test") == 1
+    assert not any(n.startswith("bound_test") for n in metrics.STAGE_OBSERVATIONS)
+    del never_run
 
 
 def test_tracked_persists_are_released(spark, docs):
