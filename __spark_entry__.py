@@ -3241,3 +3241,140 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B21_ALL_ORACLES_FN()
     out.update({"emb_ivf_topk_oracle": SQL_IVF_TOPK})
     return out
+
+# ---------------------------------------------------------------------------
+# batch 23 (round 4): exact all-pairs n-gram Jaccard dedup (the deterministic
+# complement of the MinHash path), SCD2 dimension validity-interval history,
+# and MERGE-upsert (SCD1) snapshot maintenance.  Catalog-only (the exported
+# gate stays at exactly 50 entries); oracle-checked via check_oracles --all.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.dimensions import merge_upsert, scd2_history
+from ipl_dagster_pipeline_spark.operators.text_dedup import ngram_jaccard_pairs
+
+_NJ_THRESHOLD, _NJ_MAXDF = 0.5, 50
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 5-gram Jaccard ≥ 0.5 over the discriminative shingle
+    space (df ≤ 50): inverted-index equi-join, df cap riding the join's own
+    shuffle, dropped-shingle count observable — no MinHash approximation."""
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=_NJ_THRESHOLD, max_df=_NJ_MAXDF)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SHINGLE_CTE.strip()},
+df AS (
+    SELECT sh.doc_id, sh.s, count(*) OVER (PARTITION BY s) AS df FROM sh
+),
+rare AS (SELECT doc_id, s FROM df WHERE df <= {_NJ_MAXDF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {_NJ_THRESHOLD}
+"""
+
+
+def q_dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type SCD2 history: half-open validity intervals with
+    consecutive no-op events collapsed — the dimension shape the as-of joins
+    consume for point-in-time lookups."""
+    ev = _read(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"],
+        tie_cols=["event_id"],
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+v AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id
+    FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS INTEGER) AS version
+FROM v
+"""
+
+_MU_CUTOFF = "2024-01-03 00:00:00"
+
+
+def q_dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: the pre-cutoff per-user snapshot upserted with
+    every post-cutoff event (greatest event_id wins per user; unmatched
+    users insert) — the next SCD1 snapshot as a pure DataFrame plan."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "value", "event_id", "ts")
+    cut = F.lit(_MU_CUTOFF).cast("timestamp_ntz")
+    w_latest = ev.filter(F.col("ts") < cut).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("event_id").desc())),
+    )
+    target = w_latest.filter(F.col("__rn") == 1).select("user_id", "event_type", "value", "event_id")
+    updates = ev.filter(F.col("ts") >= cut).select("user_id", "event_type", "value", "event_id")
+    merged = merge_upsert(target, updates, key_cols=["user_id"], order_col="event_id")
+    return merged.select("user_id", "event_type", "value", "event_id")
+
+
+SQL_MERGE_UPSERT = f"""
+WITH t AS (
+    SELECT user_id, event_type, value, event_id
+    FROM events WHERE ts < TIMESTAMP '{_MU_CUTOFF}'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+),
+u AS (
+    SELECT user_id, event_type, value, event_id
+    FROM events WHERE ts >= TIMESTAMP '{_MU_CUTOFF}'
+),
+b AS (
+    SELECT *, 0 AS prio FROM t
+    UNION ALL
+    SELECT *, 1 AS prio FROM u
+)
+SELECT user_id, event_type, value, event_id
+FROM b
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY prio DESC, event_id DESC) = 1
+"""
+
+_B22_ALL_QUERIES_FN = all_queries
+_B22_ALL_ORACLES_FN = all_oracle_sql
+
+_B23_QUERIES = {
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "dim_scd2_history": q_dim_scd2_history,
+    "dim_merge_upsert": q_dim_merge_upsert,
+}
+_B23_ORACLES = {
+    "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dim_scd2_history": SQL_SCD2_HISTORY,
+    "dim_merge_upsert": SQL_MERGE_UPSERT,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B22_ALL_QUERIES_FN()
+    out.update(_B23_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B22_ALL_ORACLES_FN()
+    out.update(_B23_ORACLES)
+    return out

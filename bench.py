@@ -54,6 +54,12 @@ EXTENDED = [
     "doc_mixture_epochs",
     "doc_token_budget",
     "doc_shuffle_shards",
+    # round-4 additions: exact inverted-index Jaccard, SCD2 intervals,
+    # MERGE-upsert, pinned-quantizer IVF (the value-hashed ANN gate row)
+    "doc_ngram_jaccard",
+    "dim_scd2_history",
+    "dim_merge_upsert",
+    "emb_ivf_topk_oracle",
 ]
 
 

@@ -203,6 +203,76 @@ def _jaccard(cand: DataFrame, sh: DataFrame, counts: DataFrame, id_col: str) -> 
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 5,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    storage_level=None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard near-duplicates via an inverted index —
+    the deterministic complement of the MinHash path (whose recall is
+    probabilistic) for when the recipe demands "every pair ≥ τ, exactly".
+
+    Candidates are every pair sharing at least one DISCRIMINATIVE shingle:
+    shingles held by more than ``max_df`` documents are dropped from the
+    similarity space FIRST (a stopword-shingle shared by df docs would emit
+    df² candidate pairs; its information content is ~0).  Jaccard is then
+    computed over the filtered space — internally consistent (both the
+    intersection AND the doc sizes exclude dropped shingles), replayable in
+    ANSI SQL, and the dropped-shingle count is observable via
+    ``metrics.observed_metrics('ngram_df_dropped')`` (silent-cap honesty).
+
+    Scale shape: the document-frequency cap is a count window riding the
+    same (shingle) shuffle the inverted-index self-join needs anyway; the
+    self-join is an equi-join on the shingle (never a cross join); the pair
+    aggregation is map-side combined.  Worst case is max_df² pairs per
+    surviving shingle — bounded by the cap, tunable against recall.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, id_col, text_col, k)
+    wdf = Window.partitionBy("s")
+    sized = tracked_persist(
+        sh.withColumn("__df", F.count(F.lit(1)).over(wdf)), storage_level
+    )
+    obs = register_observation("ngram_df_dropped")
+    rare_a = (
+        sized.observe(
+            obs,
+            F.sum((F.col("__df") > max_df).cast("long")).alias("dropped_shingle_rows"),
+            F.count(F.lit(1)).alias("shingle_rows"),
+        )
+        .filter(F.col("__df") <= max_df)
+        .select(F.col(id_col).alias("doc_a"), "s")
+    )
+    rare_b = sized.filter(F.col("__df") <= max_df).select(
+        F.col(id_col).alias("doc_b"), "s"
+    )
+    inter = (
+        rare_a.join(rare_b, (rare_a["s"] == rare_b["s"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = sized.filter(F.col("__df") <= max_df).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_a = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    n_b = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(n_a, "doc_a")
+        .join(n_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

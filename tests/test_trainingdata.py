@@ -339,6 +339,66 @@ def test_lsh_dropped_buckets_are_observable(spark):
     ), got
 
 
+def test_ngram_jaccard_exact_all_pairs(spark):
+    """With no shingle over the df cap, the inverted-index path must equal
+    the brute-force pairwise Jaccard EXACTLY (it is an exact algorithm, not
+    an approximation) — and planted near-dups must surface."""
+    from ipl_dagster_pipeline_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog in the yard"),
+        (2, "the quick brown fox jumps over the lazy cat in the yard"),  # near-dup of 1
+        (3, "completely different content about spark window functions"),
+        (4, "totally unrelated text with zero overlapping phrases at all"),
+    ]
+    df = spark.createDataFrame(base, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=100).collect()
+    }
+    # brute force from the shingle sets
+    sh = shingles(df).collect()
+    sets: dict[int, set] = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.s)
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 6) >= 0.3:
+                want[(a, b)] = round(j, 6)
+    assert got == want and (1, 2) in got
+
+
+def test_ngram_jaccard_df_cap_is_observable(spark):
+    """Stopword-shingles over the cap leave the similarity space, and the
+    dropped row count is observable (silent-cap honesty)."""
+    from ipl_dagster_pipeline_spark.metrics import observed_metrics
+    from ipl_dagster_pipeline_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    # 8 docs sharing one common phrase (df=8 > cap -> dropped) + unique
+    # tails, PLUS one planted near-dup pair whose shared shingles are rare
+    # (df=2 <= cap) so the final output is non-empty — an all-empty result
+    # would let AQE empty-relation propagation prune the observed branch
+    # (the documented observed_metrics caveat; same guard as the lsh test)
+    rows = [(i, f"shared common prefix phrase here unique tail {i} w{i} z{i}") for i in range(8)]
+    rows += [
+        (10, "a very distinctive rare sentence only this pair contains verbatim"),
+        (11, "a very distinctive rare sentence only this pair contains verbatim!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, max_df=4).toPandas()
+    # the common-phrase docs pair with nobody (their shared shingles were
+    # dropped); the planted rare pair survives
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {(10, 11)}
+    got = observed_metrics("ngram_df_dropped")
+    assert any(m.get("dropped_shingle_rows", 0) > 0 for m in got.values()), got
+
+
 def test_tracked_scope_isolates_concurrent_pipelines(spark):
     """ADVICE (round 3): release_tracked() from one pipeline must not
     unpersist frames another concurrently running pipeline still reads.
