@@ -3353,6 +3353,38 @@ FROM b
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY prio DESC, event_id DESC) = 1
 """
 
+def q_dim_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment THROUGH the SCD2 intervals: each event joins
+    the dimension version whose half-open validity interval contains its ts
+    — the lookup shape the history table exists for.  An equi-join on the
+    dimension key plus an interval predicate: per-event fan-in is that key's
+    version count (dimension-sized), never a theta join over facts.
+
+    By construction every event falls in exactly one version (the intervals
+    partition each key's timeline), so row count == event count — temporal
+    leakage is structurally impossible (valid_from <= ts < valid_to)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    hist = q_dim_scd2_history(spark, sf_dir)
+    j = ev.join(hist, on="user_id", how="left").filter(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("event_type").alias("state_at_ts"),
+        "version",
+    )
+
+
+SQL_PIT_ENRICH = f"""
+WITH h AS ({SQL_SCD2_HISTORY})
+SELECT e.event_id, e.user_id, e.ts, h.event_type AS state_at_ts, h.version
+FROM events e
+JOIN h ON h.user_id = e.user_id
+      AND h.valid_from <= e.ts
+      AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+"""
+
 _B22_ALL_QUERIES_FN = all_queries
 _B22_ALL_ORACLES_FN = all_oracle_sql
 
@@ -3360,11 +3392,13 @@ _B23_QUERIES = {
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "dim_scd2_history": q_dim_scd2_history,
     "dim_merge_upsert": q_dim_merge_upsert,
+    "dim_pit_enrich": q_dim_pit_enrich,
 }
 _B23_ORACLES = {
     "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dim_scd2_history": SQL_SCD2_HISTORY,
     "dim_merge_upsert": SQL_MERGE_UPSERT,
+    "dim_pit_enrich": SQL_PIT_ENRICH,
 }
 
 
