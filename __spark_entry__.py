@@ -3412,3 +3412,85 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B22_ALL_ORACLES_FN()
     out.update(_B23_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 25 (round 4): multi-level OLAP aggregation (ROLLUP with explicit
+# grouping id — subtotal NULLs disambiguated from genuine NULL dims) and
+# exact fixed-width histogram profiling.  Catalog-only; value-hash oracles.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.profiling import group_histogram
+from ipl_dagster_pipeline_spark.operators.relational import rollup_aggregate
+
+
+def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × event-type ROLLUP in ONE shuffle: detail rows, per-type
+    subtotals, and the grand total, each tagged with grouping_id so a
+    subtotal NULL is distinguishable from a genuine NULL dim.  Values are
+    integer-cents so every level's sum is exact on any engine."""
+    ev = _read(spark, sf_dir, "events")
+    dimmed = ev.select(
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return rollup_aggregate(
+        dimmed,
+        dims=["event_type", "day"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        ],
+    )
+
+
+SQL_ROLLUP_DAILY = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(2 * GROUPING(event_type) + GROUPING(strftime(ts, '%Y-%m-%d')) AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 100-char-wide length histogram per source (incl. the injected
+    NULL stratum): integer bin arithmetic, one map-side-combined shuffle,
+    output sized |groups|x|occupied bins|."""
+    docs = _null_stratum(_read(spark, sf_dir, "documents"), "source", 7)
+    return group_histogram(docs, ["source"], "n_chars", bin_width=100)
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT source, bin, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bin * 100 AS BIGINT) AS bin_lo
+FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS bin
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+_B24_ALL_QUERIES_FN = all_queries
+_B24_ALL_ORACLES_FN = all_oracle_sql
+
+_B25_QUERIES = {
+    "events_rollup_daily": q_events_rollup_daily,
+    "doc_length_histogram": q_doc_length_histogram,
+}
+_B25_ORACLES = {
+    "events_rollup_daily": SQL_ROLLUP_DAILY,
+    "doc_length_histogram": SQL_LENGTH_HISTOGRAM,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B24_ALL_QUERIES_FN()
+    out.update(_B25_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B24_ALL_ORACLES_FN()
+    out.update(_B25_ORACLES)
+    return out

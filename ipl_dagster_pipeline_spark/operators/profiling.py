@@ -93,3 +93,34 @@ def group_quantiles(
         for name, sel in sels.items()
     ]
     return hits.groupBy(*group_cols).agg(*aggs)
+
+
+def group_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: int,
+    bin_col: str = "bin",
+    lo_col: str = "bin_lo",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Exact fixed-width histogram per group: one row per (group, bin) with
+    the bin's inclusive lower edge and row count.
+
+    Pure integer arithmetic (``bin = floor(value / width)``) so counts are
+    bit-identical on any engine — the profiling companion to
+    :func:`group_quantiles` when the recipe wants the full distribution
+    shape, not selected order statistics.  One hash shuffle, map-side
+    combined; NULL values land in a NULL bin (kept, not dropped — absent
+    data is a distribution fact).  Scale: output is |groups| × |occupied
+    bins|, never data-sized.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    b = F.floor(F.col(value_col) / bin_width).cast("long")
+    return (
+        df.withColumn(bin_col, b)
+        .groupBy(*group_cols, bin_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .withColumn(lo_col, (F.col(bin_col) * bin_width).cast("long"))
+    )

@@ -135,6 +135,33 @@ def prefer_first(
     return rank_dedup(df, keys, order, keep="first")
 
 
+def rollup_aggregate(
+    df: DataFrame,
+    dims: list[str],
+    aggs: list[Column],
+    cube: bool = False,
+    gid_col: str = "gid",
+) -> DataFrame:
+    """Multi-level OLAP aggregation (ROLLUP / CUBE) with an explicit
+    grouping id.
+
+    The reference pivots one level at a time (sharing.py availability
+    pivot); a recipe dashboard wants per-dim, per-prefix AND grand totals in
+    ONE pass — Catalyst expands grouping sets into a single shuffle with
+    map-side partial aggregation, so the subtotal levels cost one exchange
+    total, not one scan per level.
+
+    ``gid_col`` is Spark's ``grouping_id()`` (bit i set = dim i aggregated
+    away), which disambiguates a subtotal row's NULL from a genuine NULL
+    dim value — required for lossless cross-engine comparison (SQL
+    ``GROUPING(...)`` composes the same bits).
+    """
+    grouped = df.cube(*dims) if cube else df.rollup(*dims)
+    return grouped.agg(
+        F.grouping_id().cast("int").alias(gid_col), *aggs
+    )
+
+
 def map_lookup(col: Column, mapping: dict[str, str], default: str) -> Column:
     """Dict-lookup with default (F9; INCIDENT_TYPE_MAPPPING.get(x, default),
     cifs.py:27-32,103-112).  Chained when/otherwise stays in codegen."""

@@ -321,6 +321,53 @@ def test_group_quantiles_exact_lower_rank(spark):
         group_quantiles(df, ["g"], "v", "k", {"bad": 101})
 
 
+def test_group_histogram_exact_bins_nulls_kept(spark):
+    from ipl_dagster_pipeline_spark.operators.profiling import group_histogram
+
+    rows = [(1, "a", 5), (2, "a", 99), (3, "a", 100), (4, "a", 250), (5, "b", 0),
+            (6, None, 50), (7, "a", None)]
+    df = spark.createDataFrame(rows, "k int, g string, v int")
+    got = {
+        (r.g, r.bin): (r.n_rows, r.bin_lo)
+        for r in group_histogram(df, ["g"], "v", bin_width=100).collect()
+    }
+    assert got[("a", 0)] == (2, 0)       # 5, 99
+    assert got[("a", 1)] == (1, 100)     # 100 goes to the next bin
+    assert got[("a", 2)] == (1, 200)
+    assert got[("b", 0)] == (1, 0)
+    assert got[(None, 0)] == (1, 0)      # null GROUP kept
+    assert got[("a", None)] == (1, None)  # null VALUE bin kept
+    with pytest.raises(ValueError, match="bin_width"):
+        group_histogram(df, ["g"], "v", bin_width=0)
+
+
+def test_rollup_aggregate_levels_and_gid(spark):
+    from ipl_dagster_pipeline_spark.operators.relational import rollup_aggregate
+
+    rows = [("x", "d1", 1), ("x", "d1", 2), ("x", "d2", 4), ("y", "d1", 8)]
+    df = spark.createDataFrame(rows, "t string, d string, v int")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")]
+    got = {
+        (r.t, r.d, r.gid): (r.n, r.s)
+        for r in rollup_aggregate(df, ["t", "d"], aggs).collect()
+    }
+    # detail (gid 0), per-t subtotal (gid 1: d aggregated), grand (gid 3)
+    assert got[("x", "d1", 0)] == (2, 3)
+    assert got[("x", "d2", 0)] == (1, 4)
+    assert got[("x", None, 1)] == (3, 7)
+    assert got[("y", None, 1)] == (1, 8)
+    assert got[(None, None, 3)] == (4, 15)
+    assert len(got) == 6  # 3 detail + 2 subtotal + 1 grand
+    # cube adds the per-d level (gid 2: t aggregated)
+    cube = {
+        (r.t, r.d, r.gid): (r.n, r.s)
+        for r in rollup_aggregate(df, ["t", "d"], aggs, cube=True).collect()
+    }
+    assert cube[(None, "d1", 2)] == (3, 11)
+    assert cube[(None, "d2", 2)] == (1, 4)
+    assert len(cube) == 8
+
+
 def test_group_quantiles_null_group_survives(spark):
     """A NULL group spanning partitions must appear in the profile with the
     same exact quantiles a SQL GROUP BY would give — a plain inner equi-join

@@ -98,3 +98,20 @@ def test_prefix_sum_plans_have_single_data_exchange(spark):
         assert plan.count("Exchange hashpartitioning") == 0, plan
         assert "BroadcastExchange" in plan  # offsets join stays broadcast
         assert "SinglePartition" not in plan
+
+
+def test_scd2_history_single_exchange_single_sort(spark):
+    """Dimension-history contract: the change-collapse window and the
+    interval/lead window must SHARE one key exchange and one sort — a second
+    sort or exchange means the two window specs diverged."""
+    from ipl_dagster_pipeline_spark.operators.dimensions import scd2_history
+
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", i, i, f"v{i % 3}") for i in range(100)],
+        ["k", "ts", "eid", "attr"],
+    )
+    out = scd2_history(df, ["k"], "ts", ["attr"], tie_cols=["eid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert "SinglePartition" not in plan
