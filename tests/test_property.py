@@ -170,3 +170,87 @@ def test_asof_strategies_agree_with_null_dim_values(spark, rows, dim_rows):
     b = key(asof_join_cogrouped(facts, dim, key="tool"))
     c = key(asof_join_broadcast_range(facts, dim, key="tool"))
     assert a == b == c
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),          # key
+            st.integers(0, 20),                    # ts (coarse -> forced ties)
+            st.sampled_from([None, "x", "y"]),     # attr (nullable)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_scd2_intervals_partition_the_timeline(spark, changes):
+    """For ANY change log: per key, versions are dense from 1; intervals are
+    half-open, non-overlapping, and tile [first event ts, open); consecutive
+    versions always differ in the attr (no-op collapse is total); the version
+    at any event ts equals the last distinct value at or before it."""
+    from ipl_dagster_pipeline_spark.operators.dimensions import scd2_history
+
+    rows = [(k, t, i, a) for i, (k, t, a) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "k string, ts int, eid int, attr string")
+    hist = scd2_history(df, ["k"], "ts", ["attr"], tie_cols=["eid"]).collect()
+    by_key: dict[str, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        ev = sorted(((t, i, a) for (kk, t, i, a) in rows if kk == k))
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert vs[0].valid_from == ev[0][0]          # coverage starts at first event
+        assert vs[-1].valid_to is None               # latest version open
+        for prev, cur in zip(vs, vs[1:]):
+            assert prev.valid_to == cur.valid_from   # tiling, half-open
+            assert prev.attr != cur.attr or (prev.attr is None) != (cur.attr is None)
+        # replaying the log through the intervals reproduces the latest
+        # event attr at every timestamp (PIT correctness, no leakage; ties
+        # within one ts resolve to the highest eid, matching the tie_cols
+        # ordering — zero-length [t, t) intervals hold nothing)
+        for t in sorted({tt for (tt, ii, aa) in ev}):
+            holder = [r for r in vs if r.valid_from <= t and (r.valid_to is None or r.valid_to > t)]
+            assert len(holder) == 1
+            last_attr = [aa for (tt, ii, aa) in ev if tt <= t][-1]
+            assert holder[0].attr == last_attr
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+        max_size=6,
+        unique_by=lambda r: r[0],
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["u", "v"]), st.booleans()),
+        max_size=10,
+    ),
+)
+def test_merge_upsert_is_idempotent_and_matches_dict_semantics(spark, target, updates):
+    """merge(merge(T, U), U) == merge(T, U), and the result equals plain
+    dict-upsert semantics (last update by seq wins, deletes drop the key)."""
+    from ipl_dagster_pipeline_spark.operators.dimensions import merge_upsert
+
+    t = spark.createDataFrame(target + [(99, "sentinel")], "k int, v string").withColumn(
+        "seq", F.lit(-1)
+    )
+    u_rows = [(k, v, i, d) for i, (k, v, d) in enumerate(updates)]
+    u = spark.createDataFrame(
+        u_rows + [(98, "probe", len(u_rows), False)], "k int, v string, seq int, is_del boolean"
+    )
+    once = merge_upsert(t, u, ["k"], order_col="seq", delete_col="is_del")
+    twice = merge_upsert(once, u, ["k"], order_col="seq", delete_col="is_del")
+    got_once = {r.k: r.v for r in once.collect()}
+    got_twice = {r.k: r.v for r in twice.collect()}
+    assert got_once == got_twice
+    # dict semantics
+    state = {k: v for k, v in target + [(99, "sentinel")]}
+    for k, v, i, d in sorted(u_rows + [(98, "probe", len(u_rows), False)], key=lambda r: r[2]):
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got_once == state
