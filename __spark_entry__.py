@@ -3494,3 +3494,123 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B24_ALL_ORACLES_FN()
     out.update(_B25_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 26 (round 4): funnel/sequence analytics over event streams,
+# per-row-weight deterministic sampling, and edit-distance fuzzy matching.
+# Catalog-only; value-hash oracles.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sampling import sample_weighted
+
+_FUNNEL_WINDOW_S = 600
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel analytics: per user, how often an 'error' event is
+    followed by a 'click' within 600s, and the first such conversion time.
+
+    Scale shape: an equi-join on user_id with a bounded time-range
+    predicate — per-user fan-in is that user's error×click density inside
+    the window, never a cross join; the aggregation is map-side combined."""
+    ev = _read(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("t0"), F.col("event_id").alias("err_id")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("t1")
+    )
+    hits = err.join(
+        clk,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("t1") > F.col("t0"))
+        & (F.col("t1") <= F.col("t0") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_S} SECONDS")),
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("err_id").alias("n_converting_errors"),
+        F.min("t1").alias("first_conversion"),
+    )
+
+
+SQL_EVENT_FUNNEL = f"""
+SELECT e.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_converting_errors,
+       min(c.ts) AS first_conversion
+FROM events e
+JOIN events c ON c.user_id = e.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL {_FUNNEL_WINDOW_S} SECOND
+GROUP BY e.user_id
+"""
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional retention: keep each doc with probability
+    min(1, n_chars/1000) — per-ROW weight, deterministic hash buckets, pure
+    projection + filter (the recipe step 'keep long docs, thin short ones')."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / 1000.0)
+    return sample_weighted(docs, "doc_id", w, seed=17).select("doc_id", "source", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_duck_hash(17, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} % 10000
+      < CAST(round(least(1.0, n_chars / 1000.0) * 10000) AS BIGINT)
+"""
+
+
+def q_doc_prefix_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-match scoring: Levenshtein distance between the 40-char
+    normalized prefixes of deterministically paired docs (id, id+50) — the
+    edit-distance complement of Jaccard/MinHash for short-field matching
+    (titles, names).  JVM-side levenshtein, no UDF."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 40).alias("pa")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 50).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 40).alias("pb"),
+    )
+    return (
+        a.join(b, "doc_a")
+        .select("doc_a", "doc_b", F.levenshtein("pa", "pb").cast("int").alias("edit_dist"))
+    )
+
+
+SQL_PREFIX_EDITDIST = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS INTEGER) AS edit_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 50
+"""
+
+_B25_ALL_QUERIES_FN = all_queries
+_B25_ALL_ORACLES_FN = all_oracle_sql
+
+_B26_QUERIES = {
+    "event_funnel": q_event_funnel,
+    "doc_weighted_sample": q_doc_weighted_sample,
+    "doc_prefix_editdist": q_doc_prefix_editdist,
+}
+_B26_ORACLES = {
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "doc_weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "doc_prefix_editdist": SQL_PREFIX_EDITDIST,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B25_ALL_QUERIES_FN()
+    out.update(_B26_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B25_ALL_ORACLES_FN()
+    out.update(_B26_ORACLES)
+    return out

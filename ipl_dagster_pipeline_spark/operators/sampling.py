@@ -100,6 +100,30 @@ def sample_stratified(
     return df.filter(bucket < bound)
 
 
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    seed: int = 17,
+    granularity: int = GRANULARITY,
+) -> DataFrame:
+    """Deterministic PER-ROW-weight sampling: keep a row with probability
+    ``clamp(weight, 0, 1)`` — e.g. quality-score-proportional retention — by
+    comparing the key's hash bucket to the row's own weight boundary.
+
+    Same guarantees as :func:`sample_stratified` (pure projection + filter,
+    no RNG, bit-identical at any parallelism/engine), generalized from a
+    per-stratum constant to an arbitrary row-level weight expression.
+    Monotone: raising a row's weight can only keep it kept.  The weight
+    boundary is rounded to 1/granularity — keep weight expressions
+    low-precision (exact in double) for cross-engine replay.
+    """
+    bucket = split_bucket(F.col(key_col), seed, granularity)
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    bound = F.round(w * granularity).cast("long")
+    return df.filter(bucket < bound)
+
+
 def mixture_epochs(
     df: DataFrame,
     strata_col: str,

@@ -185,6 +185,30 @@ def test_sample_stratified_validates_fractions(spark):
         sample_stratified(df, "s", "k", {"a": 1.5})
 
 
+def test_sample_weighted_rowlevel_probability(spark):
+    from ipl_dagster_pipeline_spark.operators.sampling import sample_weighted
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k").withColumn(
+        "w", F.when(F.col("k") % 4 == 0, 0.0)
+            .when(F.col("k") % 4 == 1, 0.25)
+            .when(F.col("k") % 4 == 2, 1.0)
+            .otherwise(2.5)  # clamps to 1.0
+    )
+    out = sample_weighted(df, "k", F.col("w"))
+    got = {r.m: r["count"] for r in out.groupBy((F.col("k") % 4).alias("m")).count().collect()}
+    assert 0 not in got                      # weight 0 keeps nothing
+    assert abs(got[1] / 5000 - 0.25) < 0.03  # weight 0.25 ~ quarter
+    assert got[2] == 5000 and got[3] == 5000  # weight >= 1 keeps all
+    # deterministic under repartitioning (pure projection + filter)
+    again = set(r.k for r in sample_weighted(df.repartition(13), "k", F.col("w")).select("k").collect())
+    assert again == set(r.k for r in out.select("k").collect())
+    # monotone: raising every weight only ADDS rows
+    bigger = set(
+        r.k for r in sample_weighted(df, "k", F.col("w") + 0.25).select("k").collect()
+    )
+    assert set(r.k for r in out.select("k").collect()) <= bigger
+
+
 def test_mixture_epochs_copies_and_determinism(spark):
     from ipl_dagster_pipeline_spark.operators.sampling import mixture_epochs, split_bucket
 
