@@ -2709,6 +2709,16 @@ DRIVER_QUERY_ORDER = [
     # --- round-4: IVF ANN promoted to a value-hash row (pinned quantizer);
     # the learned-k-means parity union (emb_ann_parity) stays catalog-only ---
     "emb_ivf_topk_oracle",
+    # --- round-4 capability classes (new code gets the hard driver rows;
+    # the four demoted entries' capabilities remain gated transitively:
+    # exact cosine re-rank inside both ANN oracles, exact pair listing as
+    # near_dup_lsh's oracle mode, JSON decode inside explode_default_record,
+    # F3/F5/F7 scalars inside scalar_suite's family — and all demoted
+    # queries stay --all-checked in the catalog) ---
+    "dim_pit_enrich",
+    "dim_merge_upsert",
+    "doc_ngram_jaccard",
+    "events_rollup_daily",
     # --- capability classes with no round-2 driver row ---
     "emb_dup_components",
     "doc_hash_split",
@@ -2736,7 +2746,6 @@ DRIVER_QUERY_ORDER = [
     # --- dedup / ranking / schema / scalars ---
     "dedup_turns",
     "schema_enforce",
-    "scalar_functions",
     "scalar_suite",
     # --- relational core ---
     "q1_pricing_summary",
@@ -2745,7 +2754,6 @@ DRIVER_QUERY_ORDER = [
     "pivot_order_status",
     "union_entities",
     "temporal_filter",
-    "json_extract_props",
     "salted_agg_by_conv",
     "user_event_stats",
     "prefer_first_lang",
@@ -2754,8 +2762,6 @@ DRIVER_QUERY_ORDER = [
     "doc_exact_dedup",
     "doc_simhash",
     "doc_minhash_lsh_pairs",
-    "emb_cosine_topk",
-    "emb_near_dup_pairs",
     "emb_near_dup_lsh",
     "media_suite",
 ]
