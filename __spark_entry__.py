@@ -3620,3 +3620,121 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B25_ALL_ORACLES_FN()
     out.update(_B26_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 27 (round 4): BM25 lexical ranking (rational IDF + fixed-order
+# summation — no ln, no engine-ordered float SUM, fully value-hashable) and
+# robust median/MAD outlier detection on exact order statistics.
+# Catalog-only; value-hash oracles.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.profiling import robust_outliers
+from ipl_dagster_pipeline_spark.operators.ranking import bm25_scores
+
+_BM25_TERMS = ["table", "query", "hash", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the lexical-retrieval complement of the embedding ANN family.  Rational
+    IDF and fixed-order per-term summation keep every float op
+    IEEE-identical across engines."""
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_sql() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - _BM25_B)
+    per_term = ",\n       ".join(
+        f"coalesce(max(CASE WHEN t = '{t}' THEN s END), 0.0) AS s_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    total = " + ".join(f"s_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_len FROM dl),
+tf AS (
+    SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE t IN ({terms_in}) GROUP BY doc_id, t
+),
+dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+s AS (
+    SELECT tf.doc_id, tf.t,
+           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * {k1p1})
+           / (tf + {_BM25_K1} * ({one_minus_b} + {_BM25_B} * (dl / (tot_len / n_docs)))) AS s
+    FROM tf
+    JOIN dfq USING (t)
+    JOIN dl USING (doc_id)
+    CROSS JOIN tot
+),
+p AS (
+    SELECT doc_id,
+       {per_term},
+       CAST(count(*) AS INTEGER) AS n_terms_matched
+    FROM s GROUP BY doc_id
+)
+SELECT doc_id, round(0.0 + {total}, 6) AS score, n_terms_matched FROM p
+"""
+
+
+SQL_DOC_BM25 = _bm25_sql()
+
+
+def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers: |n_chars − median| > 3·MAD, both
+    statistics exact lower-rank order statistics on the keyed prefix-sum
+    ranking — all-integer decision, null stratum included."""
+    docs = _null_stratum(_read(spark, sf_dir, "documents"), "source", 7).select(
+        "doc_id", "source", "n_chars"
+    )
+    return robust_outliers(docs, ["source"], "n_chars", "doc_id", n_mads=3)
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH d AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source, doc_id, n_chars
+           FROM documents),
+r AS (SELECT source, doc_id, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars ASC NULLS FIRST, doc_id) AS rnk,
+        count(*) OVER (PARTITION BY source) AS n FROM d),
+med AS (SELECT source, max(CASE WHEN rnk = ((n-1)*50)//100 + 1 THEN n_chars END) AS med FROM r GROUP BY source),
+dev AS (SELECT d.source, d.doc_id, d.n_chars, med.med, abs(d.n_chars - med.med) AS adev
+        FROM d JOIN med ON d.source IS NOT DISTINCT FROM med.source),
+r2 AS (SELECT source, doc_id, adev,
+        row_number() OVER (PARTITION BY source ORDER BY adev ASC NULLS FIRST, doc_id) AS rnk2,
+        count(*) OVER (PARTITION BY source) AS n2 FROM dev),
+mad AS (SELECT source, max(CASE WHEN rnk2 = ((n2-1)*50)//100 + 1 THEN adev END) AS mad FROM r2 GROUP BY source)
+SELECT dev.doc_id, dev.source, dev.n_chars, CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
+FROM dev JOIN mad ON dev.source IS NOT DISTINCT FROM mad.source
+WHERE dev.adev > 3 * mad.mad
+"""
+
+_B26_ALL_QUERIES_FN = all_queries
+_B26_ALL_ORACLES_FN = all_oracle_sql
+
+_B27_QUERIES = {
+    "doc_bm25": q_doc_bm25,
+    "doc_length_outliers": q_doc_length_outliers,
+}
+_B27_ORACLES = {
+    "doc_bm25": SQL_DOC_BM25,
+    "doc_length_outliers": SQL_LENGTH_OUTLIERS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B26_ALL_QUERIES_FN()
+    out.update(_B27_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B26_ALL_ORACLES_FN()
+    out.update(_B27_ORACLES)
+    return out

@@ -95,6 +95,61 @@ def group_quantiles(
     return hits.groupBy(*group_cols).agg(*aggs)
 
 
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    n_mads: int = 3,
+    med_col: str = "med",
+    mad_col: str = "mad",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group robust outliers: rows where ``|value - median| > n_mads *
+    MAD`` (median absolute deviation) — the outlier rule that, unlike
+    mean/stddev z-scores, is not dragged by the outliers it is hunting.
+
+    Both the median and the MAD are EXACT lower-rank order statistics
+    (:func:`group_quantiles` — keyed distributed prefix-sum ranking, never a
+    one-task-per-group sort), so on integer values the whole decision is
+    integer arithmetic: bit-identical on any engine, no stddev float drift.
+    Two ranking passes (values, then absolute deviations) + two broadcast
+    joins of one-row-per-group stats frames.
+    """
+    med = group_quantiles(
+        df.select(*group_cols, value_col, key_col),
+        group_cols, value_col, key_col, {med_col: 50}, count_col="__n_med",
+        n_partitions=n_partitions,
+    ).drop("__n_med")
+    med_k = med.select(
+        *[F.col(g).alias(f"__mg_{i}") for i, g in enumerate(group_cols)], med_col
+    )
+    cond = None
+    for i, g in enumerate(group_cols):
+        c = df[g].eqNullSafe(med_k[f"__mg_{i}"])
+        cond = c if cond is None else (cond & c)
+    with_med = df.join(F.broadcast(med_k), on=cond).drop(
+        *[f"__mg_{i}" for i in range(len(group_cols))]
+    )
+    dev = with_med.withColumn("__adev", F.abs(F.col(value_col) - F.col(med_col)))
+    mad = group_quantiles(
+        dev.select(*group_cols, "__adev", key_col),
+        group_cols, "__adev", key_col, {mad_col: 50}, count_col="__n_mad",
+        n_partitions=n_partitions,
+    ).drop("__n_mad")
+    mad_k = mad.select(
+        *[F.col(g).alias(f"__dg_{i}") for i, g in enumerate(group_cols)], mad_col
+    )
+    cond2 = None
+    for i, g in enumerate(group_cols):
+        c = dev[g].eqNullSafe(mad_k[f"__dg_{i}"])
+        cond2 = c if cond2 is None else (cond2 & c)
+    scored = dev.join(F.broadcast(mad_k), on=cond2).drop(
+        *[f"__dg_{i}" for i in range(len(group_cols))]
+    )
+    return scored.filter(F.col("__adev") > n_mads * F.col(mad_col)).drop("__adev")
+
+
 def group_histogram(
     df: DataFrame,
     group_cols: list[str],

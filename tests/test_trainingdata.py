@@ -480,3 +480,72 @@ def test_tracked_persists_are_released(spark, docs):
     released = release_tracked(blocking=True)
     assert released >= 2
     assert not (set(jmap().keySet().toArray()) & pinned)
+
+
+def test_bm25_scores_match_python_reference(spark):
+    """BM25 (rational IDF, fixed-order sum) must equal a plain-Python float
+    replication EXACTLY — the bit-determinism the value-hash oracle needs —
+    and rank the term-dense doc first."""
+    from ipl_dagster_pipeline_spark.operators.ranking import bm25_scores
+
+    rows = [
+        (1, "spark table table query fast"),
+        (2, "table scan slow"),
+        (3, "nothing relevant here at all"),
+        (4, "query query query table window hash window"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["table", "query", "window"]
+    got = {r.doc_id: (r.score, r.n_terms_matched) for r in bm25_scores(df, terms).collect()}
+    assert 3 not in got  # no matching term -> no row
+
+    # python replication with the exact same op order
+    toks = {i: t.split(" ") for i, t in rows}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n_docs, tot_len = len(dl), sum(dl.values())
+    k1, b = 1.2, 0.75
+    tf = {(i, t): toks[i].count(t) for i in toks for t in terms if t in toks[i]}
+    dfq = {t: sum(1 for (i, tt) in tf if tt == t) for t in terms}
+    exp = {}
+    for i in toks:
+        per = []
+        for t in terms:
+            if (i, t) not in tf:
+                per.append(0.0)
+                continue
+            f = tf[(i, t)]
+            s = ((n_docs - dfq[t] + 0.5) / (dfq[t] + 0.5)) * (f * (k1 + 1.0)) / (
+                f + k1 * (1.0 - b + b * (dl[i] / (tot_len / n_docs)))
+            )
+            per.append(s)
+        if any(per):
+            total = 0.0
+            for s in per:
+                total = total + s
+            exp[i] = round(total, 6)
+    assert {i: got[i][0] for i in got} == exp
+    assert got[4][1] == 3 and got[1][1] == 2
+    # term-dense doc 4 outranks everything
+    assert got[4][0] == max(v[0] for v in got.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(df, [])
+
+
+def test_robust_outliers_planted_and_null_group(spark):
+    """A planted extreme value must be flagged; the bulk must not; a NULL
+    group participates (null-safe stat joins)."""
+    from ipl_dagster_pipeline_spark.operators.profiling import robust_outliers
+
+    rows = (
+        [(i, "a", 100 + (i % 5)) for i in range(40)]      # tight cluster
+        + [(1000, "a", 10_000)]                            # planted outlier
+        + [(i, None, 200 + (i % 3)) for i in range(50, 70)]  # null group
+        + [(2000, None, 1)]                                # null-group outlier
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    out = robust_outliers(df, ["g"], "v", "doc_id", n_mads=3)
+    got = {(r.g, r.doc_id): (r.med, r.mad) for r in out.collect()}
+    assert set(got) == {("a", 1000), (None, 2000)}
+    med, mad = got[("a", 1000)]
+    assert med in (100, 101, 102, 103, 104) and mad <= 2
