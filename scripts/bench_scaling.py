@@ -210,9 +210,23 @@ def _gate_reading(variance_files: list[str]) -> str:
             f"* **Best-pair clause (throttle-robust)**: `{name_b}` measures\n"
             f"  **{b['scaling_efficiency_best_pair']}** best-pair efficiency\n"
             f"  ({b['sec_8_best']}s → {b['sec_32_best']}s on the amortized input) — an\n"
-            f"  estimator throttling can only lower, never inflate, clearing the 0.8\n"
-            f"  target without any window selection.\n"
+            f"  estimator throttling can only lower, never inflate PER LEVEL, clearing\n"
+            f"  the 0.8 target without any window selection.\n"
         )
+        # per-level robustness has a RATIO loophole: a slowed N-core phase
+        # paired with a clean 4N rep still inflates the ratio.  Derive that
+        # disclosure from the cross-run floor of 8-core bests.
+        floor8 = min(
+            r[1]["sec_8_best"] for r in runs
+            if r[1]["rows"] == b["rows"] and r[1].get("sec_8_best")
+        )
+        if b["sec_8_best"] > 1.1 * floor8:
+            out += (
+                f"  Derived caveat: its 8-core best rep ({b['sec_8_best']}s) sits\n"
+                f"  {round(b['sec_8_best'] / floor8, 2)}x above the cross-run 8-core floor\n"
+                f"  ({floor8}s), so part of this ratio is a slowed 8-core phase; the\n"
+                f"  calm-at-BOTH-levels runs in the table are the tighter bound.\n"
+            )
     return out
 
 
@@ -361,11 +375,15 @@ def main() -> None:
             f"the BEST-pair efficiency — which throttling can only lower, never inflate —\n"
             f"spans {min(bests)}–{max(bests)} "
             f"({min(big_bests)}–{max(big_bests)} over the amortized ≥32M-row runs;\n"
-            "the small pilot inputs are fixed-overhead-dominated). Because interference\n"
-            f"only ever subtracts from this estimator, its MAXIMUM ({max(big_bests)}) — the\n"
-            "run that caught the cleanest window at both levels — is the closest\n"
-            "observation of the engine's achievable N→4N scaling on this shared socket;\n"
-            "every lower reading is the box, not the plan.\n"
+            "the small pilot inputs are fixed-overhead-dominated). Interference only\n"
+            "ever subtracts PER LEVEL, but the ratio can still inflate when a slowed\n"
+            "N-core phase pairs with a clean 4N rep — so the honest envelope is read\n"
+            "two ways: the cross-run best-pair maximum "
+            f"({max(big_bests)}) bounds what clean windows\n"
+            "have actually been observed to deliver, while the calm-at-BOTH-levels\n"
+            "runs (tight per-rep spread at each level, near-zero steal) give the\n"
+            "tighter single-box estimate; the gap between that estimate and the\n"
+            "mem-bandwidth control's own scaling is the shared socket, not the plan.\n"
             + _gate_reading(variance_files)
         )
 
