@@ -3738,3 +3738,130 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B26_ALL_ORACLES_FN()
     out.update(_B27_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 28 (round 4): transcripts-native training-data prep — sliding
+# context-window assembly, prompt/completion pairing, tool-transition
+# statistics.  The turn-ordering contract (ts, event_id tie-break) carries
+# through all three.  Catalog-only; value-hash oracles.
+# ---------------------------------------------------------------------------
+
+_CTX_TURNS = 3  # current + 2 preceding
+
+
+def q_turn_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn training context: the last 3 turns (role-tagged) joined into
+    one string under the stable turn ordering — the sliding-window example
+    assembly step of a conversation-tuning pipeline.  One window pass riding
+    the per-conversation sort; list order IS the frame order, so the
+    assembled context is deterministic at any parallelism."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-(_CTX_TURNS - 1), 0)
+    )
+    tagged = F.concat_ws(": ", F.col("role"), F.col("text"))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(F.collect_list(tagged).over(w), " | ").alias("context"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_ctx_turns"),
+    )
+
+
+SQL_CONTEXT_WINDOWS = f"""{WITH_T}
+SELECT conv_id, turn_idx,
+       string_agg(role || ': ' || text, ' | ') OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {_CTX_TURNS - 1} PRECEDING AND CURRENT ROW) AS context,
+       CAST(count(*) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {_CTX_TURNS - 1} PRECEDING AND CURRENT ROW) AS INTEGER) AS n_ctx_turns
+FROM transcripts
+"""
+
+
+def q_prompt_completion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prompt, completion) extraction: every assistant turn whose
+    immediately preceding turn is a user turn becomes one training pair —
+    the lag features and the stable ordering doing supervision-data work."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        "conv_id",
+        "turn_idx",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("text").over(w).alias("prompt"),
+        F.col("role"),
+        F.col("text").alias("completion"),
+    )
+    return pairs.filter(
+        (F.col("role") == "assistant") & (F.col("prev_role") == "user")
+    ).select("conv_id", "turn_idx", "prompt", "completion")
+
+
+SQL_PROMPT_COMPLETION = f"""{WITH_T}
+SELECT conv_id, turn_idx, prompt, completion
+FROM (
+    SELECT conv_id, turn_idx,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+           lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prompt,
+           role, text AS completion
+    FROM transcripts
+)
+WHERE role = 'assistant' AND prev_role = 'user'
+"""
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-usage bigram statistics: counts of consecutive (prev_tool →
+    tool) transitions within conversations over the tool-bearing turns —
+    the Markov-transition profile of agent behavior."""
+    t = transcripts_from_events(spark, sf_dir).filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tr = t.select("conv_id", F.lag("tool").over(w).alias("prev_tool"), "tool")
+    return (
+        tr.filter(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_TOOL_TRANSITIONS = f"""{WITH_T}
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n_transitions
+FROM (
+    SELECT conv_id,
+           lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+           tool
+    FROM transcripts WHERE tool IS NOT NULL
+)
+WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""
+
+_B27_ALL_QUERIES_FN = all_queries
+_B27_ALL_ORACLES_FN = all_oracle_sql
+
+_B28_QUERIES = {
+    "turn_context_windows": q_turn_context_windows,
+    "prompt_completion_pairs": q_prompt_completion_pairs,
+    "tool_transitions": q_tool_transitions,
+}
+_B28_ORACLES = {
+    "turn_context_windows": SQL_CONTEXT_WINDOWS,
+    "prompt_completion_pairs": SQL_PROMPT_COMPLETION,
+    "tool_transitions": SQL_TOOL_TRANSITIONS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B27_ALL_QUERIES_FN()
+    out.update(_B28_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B27_ALL_ORACLES_FN()
+    out.update(_B28_ORACLES)
+    return out

@@ -55,11 +55,14 @@ EXTENDED = [
     "doc_token_budget",
     "doc_shuffle_shards",
     # round-4 additions: exact inverted-index Jaccard, SCD2 intervals,
-    # MERGE-upsert, pinned-quantizer IVF (the value-hashed ANN gate row)
+    # MERGE-upsert, pinned-quantizer IVF (the value-hashed ANN gate row),
+    # BM25 lexical ranking, robust MAD outliers
     "doc_ngram_jaccard",
     "dim_scd2_history",
     "dim_merge_upsert",
     "emb_ivf_topk_oracle",
+    "doc_bm25",
+    "doc_length_outliers",
 ]
 
 

@@ -185,7 +185,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 94 and len(all_oracles) == 91
+    assert len(all_qs) == 97 and len(all_oracles) == 94
 
 
 def test_no_per_row_python_udfs():
