@@ -310,6 +310,12 @@ def ivf_topk_pinned(
         base.withColumn("__h", h).orderBy("__h", id_col).limit(n_clusters).select("v").collect()
     )
     cents = [(c, [float(x) for x in r["v"]]) for c, r in enumerate(seed_rows)]
+    if not cents:  # empty corpus: no quantizer — empty result, normal schema
+        return emb.sparkSession.createDataFrame(
+            [], f"query_id {emb.schema[id_col].dataType.simpleString()}, "
+                f"neighbor_id {emb.schema[id_col].dataType.simpleString()}, "
+                "cos double, rnk int"
+        )
 
     def dist_to(cvals: list[float]):
         clit = F.array(*[F.lit(x) for x in cvals])
