@@ -3325,7 +3325,8 @@ _MU_CUTOFF = "2024-01-03 00:00:00"
 
 def q_dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics: the pre-cutoff per-user snapshot upserted with
-    every post-cutoff event (greatest event_id wins per user; unmatched
+    every post-cutoff event (greatest event_id wins per user ACROSS target
+    and updates — late/stale change rows never regress a key; unmatched
     users insert) — the next SCD1 snapshot as a pure DataFrame plan."""
     ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "value", "event_id", "ts")
     cut = F.lit(_MU_CUTOFF).cast("timestamp_ntz")
@@ -3356,7 +3357,7 @@ b AS (
 )
 SELECT user_id, event_type, value, event_id
 FROM b
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY prio DESC, event_id DESC) = 1
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC NULLS LAST, prio DESC) = 1
 """
 
 def q_dim_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3761,7 +3762,16 @@ def q_turn_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("turn_idx")
         .rowsBetween(-(_CTX_TURNS - 1), 0)
     )
-    tagged = F.concat_ws(": ", F.col("role"), F.col("text"))
+    # NULL-explicit tagging: coalesce BOTH parts on BOTH engines.  concat_ws
+    # silently skips null args (Spark-only semantics) while the oracle's
+    # `||` nulls the whole element, which string_agg then drops — under a
+    # null-text stratum the two diverge.  coalesce-to-'' makes the element
+    # total and identical everywhere (advice r4 #1).
+    tagged = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
     return t.select(
         "conv_id",
         "turn_idx",
@@ -3772,7 +3782,7 @@ def q_turn_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTEXT_WINDOWS = f"""{WITH_T}
 SELECT conv_id, turn_idx,
-       string_agg(role || ': ' || text, ' | ') OVER (
+       string_agg(coalesce(role, '') || ': ' || coalesce(text, ''), ' | ') OVER (
            PARTITION BY conv_id ORDER BY turn_idx
            ROWS BETWEEN {_CTX_TURNS - 1} PRECEDING AND CURRENT ROW) AS context,
        CAST(count(*) OVER (

@@ -120,7 +120,11 @@ def observed_metrics(prefix: str, timeout_secs: float = 1.0) -> dict[str, dict]:
             continue
         try:
             out[name] = obs.get
-        except Exception:  # completed without a readable row — skip
+        except Exception:
+            # completed but unreadable — ALSO consumed: a permanently-raising
+            # observation must not accumulate in long-lived sessions
+            # (advice r4 #3); it will never become readable later.
+            STAGE_OBSERVATIONS.pop(name, None)
             continue
         STAGE_OBSERVATIONS.pop(name, None)
     return out

@@ -93,10 +93,14 @@ def merge_upsert(
     the next snapshot — updates replace matching target rows, unmatched
     updates insert, and (with ``delete_col``) flagged updates delete.
 
-    Precedence: among UPDATE rows for one key, the greatest ``order_col``
-    wins (ties: updates > target; deterministic only if ``order_col`` is
+    Precedence: the greatest ``order_col`` ACROSS target and updates wins
+    (update beats target only on ties — the late-data rule: a change file
+    replaying stale sequence numbers must NOT regress a key to an older
+    value the target already holds).  Deterministic when ``order_col`` is
     unique per key within updates — pass one, e.g. an event ts or sequence
-    number).  Committed atomically by the caller via io.SnapshotTable — this
+    number; NULL ``order_col`` sorts last (both engines: explicit
+    nulls-last).  Without ``order_col``, updates always win (pure replace).
+    Committed atomically by the caller via io.SnapshotTable — this
     operator is the plan, not the publish.
 
     One hash shuffle on the key; per-key window over (target row + that
@@ -119,9 +123,11 @@ def merge_upsert(
     t2 = t.select(*t.columns).withColumn("__prio", F.lit(0)).withColumn("__del", F.lit(False))
     u2 = u.select(*u_cols, delete_flag.alias("__del")).withColumn("__prio", F.lit(1))
     both = t2.unionByName(u2)
-    order = [F.col("__prio").desc()]
     if order_col is not None:
-        order.append(F.col(order_col).desc())
+        # order_col FIRST (target competes on equal footing), prio breaks ties
+        order = [F.col(order_col).desc_nulls_last(), F.col("__prio").desc()]
+    else:
+        order = [F.col("__prio").desc()]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         both.withColumn("__rn", F.row_number().over(w))

@@ -152,6 +152,7 @@ def with_keyed_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     n_partitions: int | None = None,
+    max_offset_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact PER-GROUP running sum without a one-task-per-group window.
 
@@ -171,12 +172,32 @@ def with_keyed_cumsum(
 
     ``order_cols`` must end in a unique tie-breaker for bit-deterministic
     output (same contract as :func:`with_global_cumsum`).
+
+    CONTRACT: ``group_cols`` must be STRATA-cardinality keys (source, lang,
+    fold — tens to thousands of groups).  The driver round-trip is
+    groups×partitions rows; keyed by a data-cardinality column (conv_id,
+    doc_id) it would collect the corpus.  The collect is bounded by
+    ``max_offset_rows`` and RAISES loudly past it (failure-loudness
+    convention) — a high-cardinality keyed prefix sum needs a tree
+    reduction, not this operator.
     """
     local = _stamped_local_cumsum(df, group_cols, order_cols, value_col, n_partitions)
     local = tracked_persist(local)
+    # limit(N+1) bounds what reaches the driver even in the violating case:
+    # the agg still runs distributed, but at most N+1 rows ship back.
     totals = (
-        local.groupBy(*group_cols, "__pid").agg(F.sum(value_col).alias("__t")).collect()
+        local.groupBy(*group_cols, "__pid")
+        .agg(F.sum(value_col).alias("__t"))
+        .limit(max_offset_rows + 1)
+        .collect()
     )
+    if len(totals) > max_offset_rows:
+        raise ValueError(
+            f"with_keyed_cumsum: groups×partitions offset rows exceed "
+            f"max_offset_rows={max_offset_rows} — group_cols={group_cols} "
+            f"look data-cardinality, not strata-cardinality; use a "
+            f"tree-reduction prefix sum or coarser grouping keys"
+        )
     acc: dict[tuple, int] = {}
     offset_rows = []
     for r in sorted(totals, key=lambda r: (tuple(str(r[g]) for g in group_cols), r["__pid"])):

@@ -91,6 +91,26 @@ def test_merge_upsert_update_insert_delete_precedence(spark):
     assert got == {1: ("a3", 12), 3: ("c", 30), 4: ("d", 40)}
 
 
+def test_merge_upsert_late_stale_update_does_not_regress(spark):
+    """order_col is compared ACROSS target and updates (advice r4 #2): a
+    late-arriving change file carrying STALE sequence numbers must not
+    regress a key the target already advanced past; equal order_col ties
+    break toward the update (idempotent replay of the same change)."""
+    target = spark.createDataFrame([(1, "new", 50), (2, "b", 20)], "k int, v string, seq int")
+    updates = spark.createDataFrame(
+        [
+            (1, "stale", 30, False),  # older than target seq 50 → target wins
+            (2, "b2", 20, False),     # tie with target seq 20 → update wins
+        ],
+        "k int, v string, seq int, is_del boolean",
+    )
+    got = {
+        r.k: (r.v, r.seq)
+        for r in merge_upsert(target, updates, ["k"], order_col="seq", delete_col="is_del").collect()
+    }
+    assert got == {1: ("new", 50), 2: ("b2", 20)}
+
+
 def test_merge_upsert_schema_mismatch_fails_loudly(spark):
     t = spark.createDataFrame([(1, "a")], "k int, v string")
     u = spark.createDataFrame([(1, "a", 9)], "k int, v string, extra int")

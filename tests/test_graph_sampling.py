@@ -325,6 +325,23 @@ def test_keyed_cumsum_null_group_spans_partitions(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_keyed_cumsum_guards_data_cardinality_keys(spark):
+    """Strata-keys-only contract made loud: keying the prefix sum by a
+    data-cardinality column (here: the unique row key itself) must RAISE
+    when groups×partitions exceeds max_offset_rows, instead of silently
+    collecting a corpus-sized offset table to the driver."""
+    import pytest
+
+    from ipl_dagster_pipeline_spark.operators.packing import with_keyed_cumsum
+
+    df = spark.createDataFrame([(i, i % 3, 1) for i in range(60)], "k int, g int, v int")
+    with pytest.raises(ValueError, match="max_offset_rows"):
+        with_keyed_cumsum(df, ["k"], ["k"], "v", n_partitions=2, max_offset_rows=10)
+    # same frame under a strata key sails through the same bound
+    ok = with_keyed_cumsum(df, ["g"], ["k"], "v", n_partitions=2, max_offset_rows=10)
+    assert ok.count() == 60
+
+
 def test_group_quantiles_exact_lower_rank(spark):
     from ipl_dagster_pipeline_spark.operators.profiling import group_quantiles
 

@@ -132,9 +132,19 @@ def test_identifier_safety_guard():
     from ipl_dagster_pipeline_spark.schema import assert_identifier_safety
 
     assert_identifier_safety("features", "conv_id", "_private")  # all fine
-    for bad in ("drop table", "a-b", "1abc", "x;--", "", "täble"):
+    assert_identifier_safety("A1", "__dunder", "x")  # boundary accepts
+    for bad in (
+        "drop table", "a-b", "1abc", "x;--", "", "täble",
+        'a"b',            # double-quote smuggling
+        "`tick`",         # backtick quoting
+        "'; DROP TABLE t; --",  # classic injection
+        "a.b",            # qualified names must be validated per part
+        "a\nb", " a", "a ",      # whitespace edges
+    ):
         with pytest.raises(ValueError, match="unsafe identifier"):
             assert_identifier_safety(bad)
+    with pytest.raises(ValueError, match="unsafe identifier"):
+        assert_identifier_safety("ok", "bad;")  # any member failing → raise
 
 
 def test_driver_contract_consistency():
