@@ -3875,3 +3875,59 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B27_ALL_ORACLES_FN()
     out.update(_B28_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 29 (round 5): incremental dedup-index probe — the persistent
+# MinHashIndex (operators/dedup_index.py) exercised end-to-end through its
+# COMMITTED snapshot surface: base batch indexed, delta batch probed against
+# the stored band table, new pairs Jaccard-verified and read back from the
+# pairs snapshot.  The oracle replays the full MinHash pipeline on the union
+# and keeps the pairs with >=1 delta side — exactly the incremental
+# equivalence contract, value-hashed cross-engine.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.dedup_index import MinHashIndex
+
+_INCR_CUT = 250
+
+
+def q_doc_incr_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index probe: docs < cutoff form the stored index, docs >=
+    cutoff arrive as the appended batch; result = the batch's NEW verified
+    near-dup pairs exactly as committed to the pairs snapshot table.  The
+    probe equi-joins the delta band rows against stored ∪ delta on
+    (band, bucket) and re-shingles only the matched old docs."""
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = MinHashIndex(tempfile.mkdtemp(prefix="ipl_incr_idx_"))
+    idx.add_batch(docs.filter(F.col("doc_id") < _INCR_CUT), batch_id="base")
+    return idx.add_batch(docs.filter(F.col("doc_id") >= _INCR_CUT), batch_id="delta")
+
+
+SQL_INCR_PROBE = f"""
+SELECT doc_a, doc_b, jaccard FROM ({SQL_MINHASH})
+WHERE doc_a >= {_INCR_CUT} OR doc_b >= {_INCR_CUT}
+"""
+
+_B28_ALL_QUERIES_FN = all_queries
+_B28_ALL_ORACLES_FN = all_oracle_sql
+
+_B29_QUERIES = {
+    "doc_incr_index_probe": q_doc_incr_index_probe,
+}
+_B29_ORACLES = {
+    "doc_incr_index_probe": SQL_INCR_PROBE,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B28_ALL_QUERIES_FN()
+    out.update(_B29_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B28_ALL_ORACLES_FN()
+    out.update(_B29_ORACLES)
+    return out

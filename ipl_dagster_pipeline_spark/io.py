@@ -41,11 +41,20 @@ class SnapshotTable:
 
     # -- write ----------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "overwrite", partition_by: list[str] | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """Write ``df`` as a new snapshot and atomically publish it.
 
         The manifest rename is the commit point; a crash before it leaves the
         previous snapshot current (readers never see partial data).
+        ``meta`` (JSON-serializable) is recorded in the manifest — callers use
+        it for idempotence tags (e.g. a batch id: skip a batch whose tag is
+        already committed, the Iceberg ``wap.id`` pattern).
         """
         snap_id = self._next_snapshot_id()
         data_dir = os.path.join(self.root, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
@@ -61,6 +70,7 @@ class SnapshotTable:
             "partition_by": partition_by or [],
             "committed_at": time.time(),
             "parent": self.current_snapshot_id(),
+            "meta": meta or {},
         }
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -107,6 +117,72 @@ class SnapshotTable:
         if snap is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
         return spark.read.parquet(*self._state_dirs(snap))
+
+    def snapshots(self) -> list[dict]:
+        """All committed manifests, oldest → newest."""
+        return [self._manifest(int(m.split(".")[0])) for m in self._manifests()]
+
+    # -- maintenance ----------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 3) -> dict:
+        """Drop history: keep the newest ``keep_last`` snapshots (plus every
+        ancestor their append chains still need), delete the rest — manifests
+        AND unreferenced data dirs.
+
+        Daily-cadence tables accumulate unbounded snapshots/files otherwise
+        (the Iceberg ``expireSnapshots`` analog).  Reads of every KEPT
+        snapshot are byte-identical before and after: an old overwrite base
+        that a kept append chain walks through is retained even when it falls
+        outside the keep window.  Returns ``{"expired_manifests": n,
+        "deleted_dirs": m}``.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = [int(m.split(".")[0]) for m in self._manifests()]
+        kept = set(snaps[-keep_last:])
+        needed_dirs: set[str] = set()
+        needed_ids: set[int] = set()
+        for s in kept:
+            cur: int | None = s
+            while cur is not None:
+                m = self._manifest(cur)
+                needed_ids.add(cur)
+                needed_dirs.add(m["data_dir"])
+                cur = m.get("parent") if m.get("mode", "overwrite") == "append" else None
+        expired = [s for s in snaps if s not in needed_ids]
+        for s in expired:
+            os.remove(os.path.join(self.manifest_dir, f"{s:012d}.json"))
+        deleted = 0
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if d.startswith("snap-") and os.path.isdir(full) and full not in needed_dirs:
+                shutil.rmtree(full)
+                deleted += 1
+        return {"expired_manifests": len(expired), "deleted_dirs": deleted}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the current state as ONE overwrite snapshot with
+        ``target_files`` balanced files — the small-file compaction an
+        append-per-batch table needs (each append is its own parquet dir; at
+        daily cadence the reader's file listing grows without bound).
+
+        The rewrite is a full shuffle of the table — a maintenance job, run
+        off the hot path.  Contents are identical before/after (tested);
+        incremental readers whose ``start`` predates the compaction get the
+        conservative full-state fallback ``read_incremental`` already
+        documents, and appends AFTER the compaction chain off it normally.
+        """
+        state = self.read(spark).repartition(target_files)
+        return self.commit(
+            state, mode="overwrite", partition_by=partition_by, meta={"compaction": True}
+        )
 
     def read_incremental(self, spark: SparkSession, start_snapshot_id: int) -> DataFrame:
         """Rows changed strictly after ``start_snapshot_id`` — the Iceberg

@@ -109,6 +109,24 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = N_
     return based.groupBy(id_col).agg(*mins)
 
 
+def band_rows(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = N_HASHES // N_BANDS,
+) -> DataFrame:
+    """LSH band rows ``(id, band, bucket)`` from an n_hashes-wide signature
+    frame: one pass per band via a stack-style union of narrow selects.
+    Shared by the one-shot ``lsh_candidates`` and the persistent
+    ``dedup_index.MinHashIndex`` (the stored probe table IS this frame)."""
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        one = sig.select(F.col(id_col), F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bucket"))
+        bands = one if bands is None else bands.unionByName(one)
+    return bands
+
+
 def lsh_candidates(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -123,13 +141,7 @@ def lsh_candidates(
     """
     from pyspark.sql import Window
 
-    # one pass per band over the (already aggregated, n_hashes-wide) signature
-    # frame: band rows via a stack-style union of narrow selects
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        one = sig.select(F.col(id_col), F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bucket"))
-        bands = one if bands is None else bands.unionByName(one)
+    bands = band_rows(sig, id_col, n_bands, rows_per_band)
 
     # oversized-bucket cap WITHOUT a separate aggregate job + anti-join: a
     # count window over (band, bucket) rides the same shuffle the candidate

@@ -89,6 +89,64 @@ def test_snapshot_table_atomic_commit_and_incremental(spark, tmp_path):
     assert tbl.read_incremental(spark, start_snapshot_id=s1).count() == 5
 
 
+def test_snapshot_expiration_keeps_reachable_chain(spark, tmp_path):
+    """expire_snapshots keeps every ancestor a kept append chain walks
+    through — reads of kept snapshots are identical before/after — and
+    deletes unreferenced manifests AND data dirs."""
+    import os
+
+    import pytest
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    s1 = tbl.commit(spark.range(5).toDF("id"))                      # overwrite (dead base)
+    s2 = tbl.commit(spark.range(10).toDF("id"))                     # overwrite (live base)
+    s3 = tbl.commit(spark.range(10, 12).toDF("id"), mode="append")  # append on s2
+    before = sorted(r.id for r in tbl.read(spark).collect())
+    stats = tbl.expire_snapshots(keep_last=1)  # keep s3 → s2 retained via chain
+    assert stats["expired_manifests"] == 1 and stats["deleted_dirs"] == 1
+    assert sorted(r.id for r in tbl.read(spark).collect()) == before
+    assert sorted(r.id for r in tbl.read(spark, snapshot_id=s3).collect()) == before
+    with pytest.raises(FileNotFoundError):
+        tbl._manifest(s1)
+    # only the two referenced data dirs remain on disk
+    dirs = [d for d in os.listdir(tbl.root) if d.startswith("snap-")]
+    assert len(dirs) == 2
+    # the expired base cannot resurrect: next commit gets a fresh id
+    s4 = tbl.commit(spark.range(3).toDF("id"), mode="append")
+    assert s4 == s3 + 1
+
+
+def test_snapshot_compaction_preserves_contents_and_chains(spark, tmp_path):
+    """compact() rewrites an append chain into one balanced overwrite
+    snapshot: identical contents, fewer files, and post-compaction appends +
+    incremental reads chain off it normally."""
+    import glob
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(spark.range(0, 20).repartition(6).toDF("id"))
+    for lo in (20, 30, 40):
+        tbl.commit(spark.range(lo, lo + 10).repartition(4).toDF("id"), mode="append")
+    before = sorted(r.id for r in tbl.read(spark).collect())
+    files_before = len(glob.glob(str(tmp_path / "t" / "snap-*" / "*.parquet")))
+    sc = tbl.compact(spark, target_files=2)
+    assert sorted(r.id for r in tbl.read(spark).collect()) == before
+    files_now = len(glob.glob(tbl._manifest(sc)["data_dir"] + "/*.parquet"))
+    assert files_now == 2 < files_before
+    # incremental crossing the compaction → conservative full state
+    assert tbl.read_incremental(spark, start_snapshot_id=sc - 1).count() == len(before)
+    # appends after compaction chain off it; incremental from the compaction
+    # snapshot returns exactly the new rows
+    tbl.commit(spark.range(50, 55).toDF("id"), mode="append")
+    assert sorted(
+        r.id for r in tbl.read_incremental(spark, start_snapshot_id=sc).collect()
+    ) == list(range(50, 55))
+    assert tbl.read(spark).count() == len(before) + 5
+    # expiration after compaction drops the whole pre-compaction chain
+    stats = tbl.expire_snapshots(keep_last=2)
+    assert stats["expired_manifests"] == 4
+    assert tbl.read(spark).count() == len(before) + 5
+
+
 def test_checkpoint_resume_skips_committed(spark, small_transcripts, tmp_path):
     root = str(tmp_path / "ckpt")
     calls = {"n": 0}
@@ -195,7 +253,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 97 and len(all_oracles) == 94
+    assert len(all_qs) == 98 and len(all_oracles) == 95
 
 
 def test_no_per_row_python_udfs():

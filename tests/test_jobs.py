@@ -37,6 +37,41 @@ def _checksums(spark, root: str) -> dict[str, tuple[int, int]]:
     return {s: total_from_lineage(spark, pipe.lineage_path, s) for s in STAGES}
 
 
+def test_dedup_index_job_appends_and_resumes(spark, monkeypatch, tmp_path, capsys):
+    """The daily-cadence CLI: two batch adds reproduce the full-recompute
+    pair count, a replayed batch-id is a no-op, --maintain compacts without
+    changing the pair set."""
+    import json
+
+    import jobs.dedup_index_update as job
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    half = str(tmp_path / "half.parquet")
+    rest = str(tmp_path / "rest.parquet")
+    docs = spark.read.parquet(src)
+    docs.filter(F.col("doc_id") < 250).write.parquet(half)
+    docs.filter(F.col("doc_id") >= 250).write.parquet(rest)
+    idx_dir = str(tmp_path / "idx")
+
+    def run(*argv: str) -> dict:
+        monkeypatch.setattr(sys, "argv", ["dedup_index_update.py", *argv])
+        job.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run("--index", idx_dir, "--add", half, "--batch-id", "b1")
+    r2 = run("--index", idx_dir, "--add", rest, "--batch-id", "b2")
+    from ipl_dagster_pipeline_spark.operators.text_dedup import minhash_lsh_dedup
+
+    full = minhash_lsh_dedup(docs, threshold=0.5).count()
+    assert r1["new_pairs"] + r2["new_pairs"] == full == r2["total_pairs"]
+    replay = run("--index", idx_dir, "--add", rest, "--batch-id", "b2")
+    assert replay["new_pairs"] == r2["new_pairs"] and replay["total_pairs"] == full
+    maintained = run("--index", idx_dir, "--maintain", "--keep-last", "1",
+                     "--target-files", "2")
+    assert maintained["total_pairs"] == full
+    assert maintained["duplicate_members"] == r2["duplicate_members"]
+
+
 def test_corpus_job_budget_shards_resume_and_determinism(spark, monkeypatch, tmp_path):
     """Run the job with both recipe flags; assert (a) the budget stage caps
     every source's running token total, (b) shards are round-robin balanced,
