@@ -6,13 +6,17 @@ latest-per-camera probe, webcam_worker.py) where the pipeline never decodes
 pixels either; it moves bytes and tracks metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec step is STUBBED because no
-image/audio libraries exist in this container:
+signatures) is real and tested.  The codec story (round 5):
 
-* ``decode_media(..., fake=True)`` produces deterministic fake features from
-  the bytes (so tests are meaningful);
-* ``fake=False`` raises ``NotImplementedError`` at the first batch — plug in
-  PIL/torchaudio there in a real deployment.
+* ``fake=True`` produces deterministic md5-arithmetic features from the
+  bytes — the branch every SQL oracle replays;
+* ``fake=False`` decodes REAL image bytes via the engine's own pure-stdlib
+  codecs (PPM/PGM, 24-bit BMP, 8-bit PNG — operators/imagecodec.py), inside
+  the same Arrow batches; ``resize_images(fake=False)`` runs a real
+  nearest-neighbor resample and hashes the real output pixels;
+* real AUDIO/VIDEO decode (and video frame sampling) remains a loud
+  ``NotImplementedError`` — no honest stdlib codec exists for those; plug
+  in torchaudio/pyav there in a real deployment.
 """
 
 from __future__ import annotations
@@ -77,8 +81,11 @@ def decode_media(media: DataFrame, fake: bool = True, batch_note: str = "decode"
     """Arrow-batched media decode via ``mapInPandas``.
 
     The iterator-of-batches shape is the one a real codec needs (stream
-    batches, never materialize the partition); ``fake=True`` derives
-    deterministic pseudo-features from the payload bytes.
+    batches, never materialize the partition).  ``fake=True`` derives
+    deterministic pseudo-features from the payload bytes (oracle-replayable);
+    ``fake=False`` decodes real IMAGE bytes with the engine's stdlib codecs
+    (PPM/BMP/PNG, imagecodec.py) — real width/height per row; audio/video
+    rows in real mode raise ``NotImplementedError`` (no stdlib codec).
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,10 +93,34 @@ def decode_media(media: DataFrame, fake: bool = True, batch_note: str = "decode"
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decoding needs an image/audio codec library; "
-                    "install PIL/torchaudio and replace this branch"
+                from .imagecodec import decode_image
+
+                if (pdf["media_type"] != "image").any():
+                    raise NotImplementedError(
+                        "real decode supports images only (ppm/pgm/bmp/png); "
+                        "plug in torchaudio/pyav for audio/video"
+                    )
+                recs = []
+                for mid, mtype, payload in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]
+                ):
+                    arr = decode_image(bytes(payload))
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "media_type": mtype,
+                            "n_bytes": len(payload),
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "duration_s": None,
+                            "content_hash": hashlib.md5(bytes(payload)).hexdigest(),
+                        }
+                    )
+                out = pd.DataFrame(recs, columns=[f.name for f in FEATURE_SCHEMA.fields])
+                yield out.astype(
+                    {"n_bytes": "int64", "width": "int32", "height": "int32"}
                 )
+                continue
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
             digest = payloads.map(
@@ -133,10 +164,12 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (224, 224), fake: 
     only — non-images are filtered BEFORE the Python stage so the Arrow
     exchange never carries bytes it won't use).
 
-    The real pixel path is the declared codec stub; ``fake=True`` computes the
-    REAL resize geometry (fit-within scale, output dims) from the fake-decode
-    dimensions and a deterministic content hash — all integer/md5 arithmetic a
-    SQL oracle can replay.
+    ``fake=True`` computes the REAL resize geometry (fit-within scale, output
+    dims) from the fake-decode dimensions and a deterministic content hash —
+    all integer/md5 arithmetic a SQL oracle can replay.  ``fake=False``
+    decodes the real pixels (imagecodec.py), applies the same fit-within
+    geometry to the REAL dimensions, resamples nearest-neighbor, and hashes
+    the resampled pixel bytes — an actual resize, per Arrow batch.
     """
     tw, th = target
 
@@ -145,9 +178,31 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (224, 224), fake: 
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real image resize needs a codec library; install PIL and replace this branch"
+                from .imagecodec import decode_image, resize_nearest
+
+                recs = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    arr = decode_image(bytes(payload))
+                    h, w = arr.shape[:2]
+                    scale = min(tw / w, th / h, 1.0)
+                    ow, oh = int(w * scale), int(h * scale)
+                    resized = resize_nearest(arr, ow, oh)
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "target_w": tw,
+                            "target_h": th,
+                            "out_w": ow,
+                            "out_h": oh,
+                            "scale": round(scale, 6),
+                            "resized_hash": hashlib.md5(resized.tobytes()).hexdigest(),
+                        }
+                    )
+                out = pd.DataFrame(recs, columns=[f.name for f in RESIZED_SCHEMA.fields])
+                yield out.astype(
+                    {"target_w": "int32", "target_h": "int32", "out_w": "int32", "out_h": "int32"}
                 )
+                continue
             digest = pdf["payload"].map(
                 lambda b: hashlib.md5(b).hexdigest() if b is not None else None
             )
@@ -222,6 +277,63 @@ def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 16, fake
 
     videos = media.filter(F.col("media_type") == "video")
     return videos.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType()), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL per-image statistics from decoded pixels: dimensions, channel
+    count, per-channel means, mean luma (ITU-R BT.601 for 3+ channels) —
+    the feature-extraction stage of a vision-data pipeline, decoding with
+    the engine's own codecs inside Arrow batches.  Image rows only are
+    shipped to Python (filter BEFORE the Arrow exchange)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import PNG_SIG, decode_image
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                fmt = (
+                    "png" if b[:8] == PNG_SIG
+                    else "ppm" if b[:2] in (b"P5", b"P6")
+                    else "bmp" if b[:2] == b"BM"
+                    else "unknown"
+                )
+                arr = decode_image(b)
+                means = [round(float(m), 6) for m in arr.reshape(-1, arr.shape[2]).mean(axis=0)]
+                if arr.shape[2] >= 3:
+                    luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+                else:
+                    luma = means[0]
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "format": fmt,
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "channels": arr.shape[2],
+                        "channel_means": means,
+                        "mean_luma": round(float(luma), 6),
+                    }
+                )
+            out = pd.DataFrame(recs, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields])
+            yield out.astype({"width": "int32", "height": "int32", "channels": "int32"})
+
+    images = media.filter(F.col("media_type") == "image")
+    return images.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
 def latest_media_per_source(media: DataFrame) -> DataFrame:

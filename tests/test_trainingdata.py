@@ -183,9 +183,15 @@ def test_media_decode_plumbing(docs):
     assert pdf.content_hash.notna().all()
 
 
-def test_media_decode_real_path_is_stubbed(docs):
+def test_media_decode_real_path_rejects_nonimage_bytes(docs):
+    """Real mode decodes REAL images only: synthetic text payloads and
+    audio/video rows both fail loudly (UnsupportedImage / NotImplementedError),
+    never fabricate pixels.  The real-codec happy path is covered in
+    tests/test_imagecodec.py."""
     media = synthesize_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(
+        Exception, match="NotImplementedError|UnsupportedImage|unrecognized|images only"
+    ):
         decode_media(media, fake=False).collect()
 
 
