@@ -625,13 +625,13 @@ def _duck_hash(seed: int, expr: str) -> str:
 
 def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return with_token_counts(docs).select("doc_id", "lang", "source", "n_ws_tokens", "n_bpe_tokens")
+    return with_token_counts(docs).select("doc_id", "lang", "source", "n_ws_tokens", "n_re_tokens")
 
 
 SQL_DOC_TOKENS = r"""
 SELECT doc_id, lang, source,
        CAST(length(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
-       CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_re_tokens
 FROM documents
 """
 
@@ -2621,7 +2621,7 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     out = with_fingerprint(with_lang_id(with_quality_scores(with_token_counts(docs))))
     return out.select(
-        "doc_id", "lang", "source", "n_ws_tokens", "n_bpe_tokens",
+        "doc_id", "lang", "source", "n_ws_tokens", "n_re_tokens",
         "n_chars", "alpha_ratio", "punct_ratio", "mean_word_len", "stopword_ratio",
         "score_en", "score_de", "score_es", "score_fr", "score_zh", "lang_pred",
         "fp", "norm_len",
@@ -2629,7 +2629,7 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_TEXTSTATS = f"""
-SELECT t.doc_id, t.lang, t.source, t.n_ws_tokens, t.n_bpe_tokens,
+SELECT t.doc_id, t.lang, t.source, t.n_ws_tokens, t.n_re_tokens,
        q.n_chars, q.alpha_ratio, q.punct_ratio, q.mean_word_len, q.stopword_ratio,
        l.score_en, l.score_de, l.score_es, l.score_fr, l.score_zh, l.lang_pred,
        f.fp, f.norm_len
@@ -3930,4 +3930,101 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noq
 def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B28_ALL_ORACLES_FN()
     out.update(_B29_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 30 (round 5): REAL-BPE token counting + budget selection.  The
+# merges-table BPE (operators/tokenizer.py) runs as a JVM-side replace chain
+# over the distinct vocabulary — no Python in the hot path — and the oracle
+# renders the IDENTICAL chain into DuckDB SQL (generated-oracle pattern), so
+# budget selection under real-BPE counts is fully value-hashed.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.tokenizer import (
+    bpe_merges_sql_chain,
+    with_bpe_token_counts,
+)
+
+_BPE_BUDGETS = {"src0": 1200, "src1": 700}
+_BPE_DEFAULT = 900
+_BPE_SEED = 41
+
+
+def q_doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection under REAL BPE counts (the tokenizer
+    the training run would meter by, not a whitespace proxy): docs walk in
+    portable-hash order per source, kept while the running BPE-token total
+    fits the budget; the running total is the keyed distributed prefix sum;
+    the injected NULL source stratum exercises the null-safe offsets join."""
+    docs = with_bpe_token_counts(_null_stratum(_read(spark, sf_dir, "documents"), "source", 7))
+    out = token_budget_select(
+        docs, strata_col="source", key_col="doc_id", token_col="n_bpe_tokens",
+        budgets=_BPE_BUDGETS, default_budget=_BPE_DEFAULT, seed=_BPE_SEED,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+_BPE_CASE = "CASE " + " ".join(
+    f"WHEN source = '{k}' THEN {v}" for k, v in _BPE_BUDGETS.items()
+) + f" ELSE {_BPE_DEFAULT} END"
+
+SQL_BPE_TOKEN_BUDGET = f"""
+WITH wrd AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents
+),
+occ AS (SELECT doc_id, w, count(*) AS n_occ FROM wrd GROUP BY 1, 2),
+vc AS (
+    SELECT w,
+           (length({bpe_merges_sql_chain('w')})
+            - length(replace({bpe_merges_sql_chain('w')}, '|', ''))) // 2 AS w_tokens
+    FROM (SELECT DISTINCT w FROM occ)
+),
+cnt AS (
+    SELECT o.doc_id, sum(o.n_occ * vc.w_tokens) AS n_bpe
+    FROM occ o JOIN vc USING (w) GROUP BY 1
+),
+t AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE d.source END AS source,
+           CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+           {_duck_hash(_BPE_SEED, "coalesce(CAST(d.doc_id AS VARCHAR), '<null>')")} AS h
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+),
+cm AS (
+    SELECT doc_id, source, n_bpe_tokens,
+           CAST(sum(n_bpe_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_bpe_tokens, cum_tokens
+FROM cm
+WHERE cum_tokens <= {_BPE_CASE}
+"""
+
+_B29_ALL_QUERIES_FN = all_queries
+_B29_ALL_ORACLES_FN = all_oracle_sql
+
+_B30_QUERIES = {
+    "doc_bpe_token_budget": q_doc_bpe_token_budget,
+}
+_B30_ORACLES = {
+    "doc_bpe_token_budget": SQL_BPE_TOKEN_BUDGET,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B29_ALL_QUERIES_FN()
+    out.update(_B30_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B29_ALL_ORACLES_FN()
+    out.update(_B30_ORACLES)
     return out

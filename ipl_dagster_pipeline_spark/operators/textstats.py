@@ -31,9 +31,13 @@ def _count_matches(col: Column, pattern: str) -> Column:
 
 
 def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace-token and BPE-ish-token counts (JVM regex, no UDF)."""
+    """Whitespace-token and regex-piece-token counts (JVM regex, no UDF).
+
+    ``n_re_tokens`` is the cheap word+punct piece count (one regex pass); for
+    counts from an actual merges-table tokenizer use
+    ``tokenizer.with_bpe_token_counts`` (``n_bpe_tokens``)."""
     return docs.withColumn("n_ws_tokens", _count_matches(F.col(text_col), WS_TOKEN_RE)).withColumn(
-        "n_bpe_tokens", _count_matches(F.col(text_col), TOKEN_RE)
+        "n_re_tokens", _count_matches(F.col(text_col), TOKEN_RE)
     )
 
 

@@ -55,6 +55,9 @@ def main() -> None:
     ap.add_argument("--min-alpha-ratio", type=float, default=0.5)
     ap.add_argument("--token-budget", type=int, default=0,
                     help="per-source token cap applied before the fold split (0 = unlimited)")
+    ap.add_argument("--bpe", action="store_true",
+                    help="meter the token budget in REAL BPE tokens "
+                         "(operators/tokenizer.py) instead of whitespace tokens")
     ap.add_argument("--shards", type=int, default=0,
                     help="emit a sharded stage with shuffle position + shard id (0 = skip)")
     args = ap.parse_args()
@@ -63,9 +66,15 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
     pipe = CheckpointedPipeline(spark, args.output, force=args.force)
 
-    stats = pipe.stage(
-        "stats", lambda: with_lang_id(with_quality_scores(with_token_counts(docs)))
-    )
+    def _stats():
+        s = with_lang_id(with_quality_scores(with_token_counts(docs)))
+        if args.bpe:
+            from ipl_dagster_pipeline_spark.operators.tokenizer import with_bpe_token_counts
+
+            s = with_bpe_token_counts(s)
+        return s
+
+    stats = pipe.stage("stats", _stats)
     exact = pipe.stage("exact", lambda: exact_dedup(docs))
     pairs = pipe.stage("pairs", lambda: minhash_lsh_dedup(docs, threshold=args.jaccard))
     groups = pipe.stage("groups", lambda: duplicate_groups(pairs))
@@ -76,7 +85,8 @@ def main() -> None:
         kept = curate_keepers(stats, exact, groups, min_alpha_ratio=args.min_alpha_ratio)
         if args.token_budget:
             kept = token_budget_select(
-                kept, "source", "doc_id", "n_ws_tokens",
+                kept, "source", "doc_id",
+                "n_bpe_tokens" if args.bpe else "n_ws_tokens",
                 budgets={}, default_budget=args.token_budget,
             )
         return hash_split(kept, "doc_id")

@@ -253,7 +253,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 98 and len(all_oracles) == 95
+    assert len(all_qs) == 99 and len(all_oracles) == 96
 
 
 def test_no_per_row_python_udfs():

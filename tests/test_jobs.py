@@ -37,6 +37,23 @@ def _checksums(spark, root: str) -> dict[str, tuple[int, int]]:
     return {s: total_from_lineage(spark, pipe.lineage_path, s) for s in STAGES}
 
 
+def test_corpus_job_bpe_budget_meter(spark, monkeypatch, tmp_path):
+    """--bpe meters the budget in real BPE tokens: the stats stage carries
+    n_bpe_tokens and the budget cap binds on the BPE running total."""
+    out = str(tmp_path / "corpus_bpe")
+    _run_job(monkeypatch, out, "--bpe")
+    pipe = CheckpointedPipeline(spark, out)
+    stats = pipe.table("stats").read(spark)
+    assert "n_bpe_tokens" in stats.columns
+    # BPE merges compress: strictly fewer tokens than word chars, ≥ ws tokens
+    agg = stats.agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_ws_tokens").alias("ws")
+    ).collect()[0]
+    assert agg.bpe > agg.ws  # subword counts exceed whitespace-word counts
+    curated = pipe.table("curated").read(spark)
+    assert curated.filter(F.col("cum_tokens") > 400).count() == 0
+
+
 def test_dedup_index_job_appends_and_resumes(spark, monkeypatch, tmp_path, capsys):
     """The daily-cadence CLI: two batch adds reproduce the full-recompute
     pair count, a replayed batch-id is a no-op, --maintain compacts without
