@@ -2699,37 +2699,49 @@ _B16_ORACLES_FN = oracle_sql
 # The 50 gate entries, previously-unchecked capability classes FIRST (the
 # driver checks the first 50 in insertion order).
 DRIVER_QUERY_ORDER = [
-    # --- round-3 additions (new capability classes, hard driver rows) ---
+    # --- round-5 rotation: new capabilities + the 8 round-4 catalog-only
+    # classes get the hard driver rows.  The 10 demoted entries stay
+    # --all-checked in the catalog and their capabilities remain gated
+    # transitively: doc_token_budget's keyed prefix sum + null stratum runs
+    # inside doc_bpe_token_budget (same token_budget_select, real-BPE meter);
+    # doc_length_quantiles' rank-arithmetic quantile core is the median/MAD
+    # inside doc_length_outliers; doc_stratified_sample's row-level hash
+    # keep-probability family is doc_weighted_sample; doc_hash_split's
+    # portable-hash bucketing drives doc_weighted_sample + doc_mixture_epochs;
+    # doc_top_terms' integer tf/df ranking is subsumed by doc_bm25's full
+    # lexical scorer; doc_quality_gate's scores come from doc_textstats and
+    # its conjunctive filter from join_filters/incident_pipeline;
+    # q1_pricing_summary's agg family lives in events_rollup_daily, and
+    # pivot_order_status' explicit-domain pivot in doc_bm25's max(CASE)
+    # per-term pivot; temporal_filter's point-in-time validity predicate is
+    # the interval join inside dim_pit_enrich (+ both asof parities);
+    # media_resize_images' grouped mapInPandas shape is media_sample_frames +
+    # media_suite. ---
+    "doc_bpe_token_budget",
+    "doc_incr_index_probe",
+    "doc_bm25",
+    "doc_length_outliers",
+    "doc_length_histogram",
+    "event_funnel",
+    "doc_weighted_sample",
+    "doc_prefix_editdist",
+    "turn_context_windows",
+    "dim_scd2_history",
+    # --- round-3/4 rows retained ---
     "doc_mixture_epochs",
-    "doc_token_budget",
     "doc_shuffle_shards",
-    "doc_length_quantiles",
-    "doc_stratified_sample",
     "emb_lsh_topk_oracle",
-    # --- round-4: IVF ANN promoted to a value-hash row (pinned quantizer);
-    # the learned-k-means parity union (emb_ann_parity) stays catalog-only ---
     "emb_ivf_topk_oracle",
-    # --- round-4 capability classes (new code gets the hard driver rows;
-    # the four demoted entries' capabilities remain gated transitively:
-    # exact cosine re-rank inside both ANN oracles, exact pair listing as
-    # near_dup_lsh's oracle mode, JSON decode inside explode_default_record,
-    # F3/F5/F7 scalars inside scalar_suite's family — and all demoted
-    # queries stay --all-checked in the catalog) ---
     "dim_pit_enrich",
     "dim_merge_upsert",
     "doc_ngram_jaccard",
     "events_rollup_daily",
-    # --- capability classes with no round-2 driver row ---
     "emb_dup_components",
-    "doc_hash_split",
     "doc_winnow_fingerprints",
     "doc_collapse_repeats",
-    "doc_quality_gate",
     "doc_pii_redact",
     "doc_contamination",
-    "doc_top_terms",
     "doc_pack_sequences",
-    "media_resize_images",
     "media_sample_frames",
     "incident_pipeline",
     "explode_default_record",
@@ -2748,12 +2760,9 @@ DRIVER_QUERY_ORDER = [
     "schema_enforce",
     "scalar_suite",
     # --- relational core ---
-    "q1_pricing_summary",
     "q5_revenue_enriched",
     "join_filters",
-    "pivot_order_status",
     "union_entities",
-    "temporal_filter",
     "salted_agg_by_conv",
     "user_event_stats",
     "prefer_first_lang",

@@ -219,32 +219,29 @@ def test_driver_contract_consistency():
     assert set(qs) - set(oracles) == set()  # 50/50 fully value-hashed
     assert len(qs) == 50 and len(oracles) == 50
     assert list(qs) == em.DRIVER_QUERY_ORDER
-    # round-3/4 classes first, then the classes without a round-2 driver row
-    assert list(qs)[:20] == [
-        "doc_mixture_epochs",
-        "doc_token_budget",
-        "doc_shuffle_shards",
-        "doc_length_quantiles",
-        "doc_stratified_sample",
-        "emb_lsh_topk_oracle",
-        "emb_ivf_topk_oracle",
-        "dim_pit_enrich",
-        "dim_merge_upsert",
-        "doc_ngram_jaccard",
-        "events_rollup_daily",
-        "emb_dup_components",
-        "doc_hash_split",
-        "doc_winnow_fingerprints",
-        "doc_collapse_repeats",
-        "doc_quality_gate",
-        "doc_pii_redact",
-        "doc_contamination",
-        "doc_top_terms",
-        "doc_pack_sequences",
+    # round-5 rotation: the new capabilities + the 8 round-4 catalog-only
+    # classes lead the gate
+    assert list(qs)[:10] == [
+        "doc_bpe_token_budget",
+        "doc_incr_index_probe",
+        "doc_bm25",
+        "doc_length_outliers",
+        "doc_length_histogram",
+        "event_funnel",
+        "doc_weighted_sample",
+        "doc_prefix_editdist",
+        "turn_context_windows",
+        "dim_scd2_history",
     ]
-    # the four round-4 demotions stay catalog-checked (--all), and their
-    # capabilities remain transitively inside gated queries
-    for demoted in ("scalar_functions", "json_extract_props", "emb_cosine_topk", "emb_near_dup_pairs"):
+    # every demotion (rounds 4+5) stays catalog-checked (--all), and its
+    # capability remains transitively inside gated queries (see the
+    # DRIVER_QUERY_ORDER comment for the per-entry mapping)
+    for demoted in (
+        "scalar_functions", "json_extract_props", "emb_cosine_topk", "emb_near_dup_pairs",
+        "doc_token_budget", "doc_length_quantiles", "doc_stratified_sample", "doc_hash_split",
+        "doc_quality_gate", "doc_top_terms", "q1_pricing_summary", "pivot_order_status",
+        "temporal_filter", "media_resize_images",
+    ):
         assert demoted not in qs and demoted in em.all_queries() and demoted in em.all_oracle_sql()
     # every merged-away original is still runnable via the full catalog
     all_qs, all_oracles = em.all_queries(), em.all_oracle_sql()
