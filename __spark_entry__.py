@@ -4037,3 +4037,159 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B29_ALL_ORACLES_FN()
     out.update(_B30_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 31 (round 5): GEO semantics (SURVEY §2 S9 — reference builds station
+# point geometry from lon/lat (lamassu.py:192-196), splits roadworks by
+# geometry type with the dropped set warned (traffic_incidents.py:100-107),
+# and parses CIFS "lat lon ..." linestrings (cifs.py:251-253,303)).  The
+# testdata tables carry no coordinates, so both engines derive the SAME
+# deterministic lon/lat from integer keys — the geometry MATH is what is
+# value-hashed, not the fixture.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.functions.geo import (
+    geom_type,
+    grid_radius_join,
+    haversine_sql,
+    linestring_length_km,
+    parse_linestring,
+)
+
+_GEO_RADIUS_KM = 150.0
+
+
+def _derived_lonlat(df: DataFrame, key: str, mul_lon: int, mul_lat: int, pfx: str) -> DataFrame:
+    """lon ∈ [-180, 179.95], lat ∈ [-65, 64.95] from an integer key — exact
+    decimal-by-20 division, bit-identical in Spark and DuckDB."""
+    return df.select(
+        F.col(key),
+        (((F.col(key) * mul_lon) % 7200) / 20.0 - 180.0).alias(f"{pfx}_lon"),
+        (((F.col(key) * mul_lat) % 2600) / 20.0 - 65.0).alias(f"{pfx}_lat"),
+    )
+
+
+def q_geo_station_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest station within 150 km per probe point — the S9 capability on
+    Spark terms: a wrapped lon/lat-grid equi-join (never a cross product;
+    antimeridian-safe) + exact haversine refine + rank-1 window.  Suppliers
+    play stations, customers play probes; distances round to 6 dp BEFORE the
+    rank so the cross-engine ordering is identical (ties break by station
+    key)."""
+    sup = _derived_lonlat(_read(spark, sf_dir, "supplier"), "s_suppkey", 97, 53, "s")
+    cust = _derived_lonlat(_read(spark, sf_dir, "customer"), "c_custkey", 31, 17, "c")
+    pairs = grid_radius_join(
+        cust, sup, _GEO_RADIUS_KM,
+        p_lon="c_lon", p_lat="c_lat", c_lon="s_lon", c_lat="s_lat", dist_col="dist_km",
+    ).withColumn("dist_km", F.round(F.col("dist_km"), 6))
+    w = Window.partitionBy("c_custkey").orderBy(F.col("dist_km").asc(), F.col("s_suppkey").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("c_custkey", "s_suppkey", "dist_km")
+    )
+
+
+_HAV_CS = haversine_sql("c_lon", "c_lat", "s_lon", "s_lat")
+
+SQL_GEO_STATION_PROXIMITY = f"""
+WITH s AS (
+    SELECT s_suppkey,
+           ((s_suppkey * 97) % 7200) / 20.0 - 180.0 AS s_lon,
+           ((s_suppkey * 53) % 2600) / 20.0 - 65.0 AS s_lat
+    FROM supplier
+),
+c AS (
+    SELECT c_custkey,
+           ((c_custkey * 31) % 7200) / 20.0 - 180.0 AS c_lon,
+           ((c_custkey * 17) % 2600) / 20.0 - 65.0 AS c_lat
+    FROM customer
+),
+p AS (
+    SELECT c_custkey, s_suppkey, round({_HAV_CS}, 6) AS dist_km
+    FROM c CROSS JOIN s
+    WHERE {_HAV_CS} <= {_GEO_RADIUS_KM!r}
+)
+SELECT c_custkey, s_suppkey, dist_km
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY dist_km ASC, s_suppkey ASC) AS rnk
+    FROM p
+)
+WHERE rnk = 1
+"""
+
+
+def q_geo_route_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIFS-style route processing end-to-end: per-order "lat lon lat lon"
+    TEXT (integer degrees derived from the key, 1-3 vertices) → parse →
+    geometry-type filter (only LineStrings survive, the reference's
+    roadworks rule) → great-circle length.  The oracle computes the same
+    lengths straight from the vertex arithmetic — equality proves the whole
+    Spark parse/type/length chain."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    toks = F.array(
+        *[
+            ((k * m) % F.lit(mod) - F.lit(off)).cast("string")
+            for m, mod, off in [(7, 120, 60), (11, 360, 180), (10, 120, 60),
+                                (16, 360, 180), (13, 120, 60), (21, 360, 180)]
+        ]
+    )
+    n_v = (k % 3 + 1).cast("int")
+    txt = F.array_join(F.slice(toks, 1, n_v * 2), " ")
+    geoms = o.select("o_orderkey", parse_linestring(txt).alias("pts"))
+    return (
+        geoms.filter(geom_type(F.col("pts")) == "LineString")
+        .select(
+            "o_orderkey",
+            F.size("pts").alias("n_pts"),
+            F.round(linestring_length_km(F.col("pts")), 6).alias("len_km"),
+        )
+    )
+
+
+_HAV_01 = haversine_sql("lon0", "lat0", "lon1", "lat1")
+_HAV_12 = haversine_sql("lon1", "lat1", "lon2", "lat2")
+
+SQL_GEO_ROUTE_LENGTHS = f"""
+WITH v AS (
+    SELECT o_orderkey,
+           CAST(o_orderkey % 3 + 1 AS INTEGER) AS n_pts,
+           CAST((o_orderkey * 7) % 120 - 60 AS DOUBLE) AS lat0,
+           CAST((o_orderkey * 11) % 360 - 180 AS DOUBLE) AS lon0,
+           CAST((o_orderkey * 10) % 120 - 60 AS DOUBLE) AS lat1,
+           CAST((o_orderkey * 16) % 360 - 180 AS DOUBLE) AS lon1,
+           CAST((o_orderkey * 13) % 120 - 60 AS DOUBLE) AS lat2,
+           CAST((o_orderkey * 21) % 360 - 180 AS DOUBLE) AS lon2
+    FROM orders
+)
+SELECT o_orderkey, n_pts,
+       round({_HAV_01} + CASE WHEN n_pts = 3 THEN {_HAV_12} ELSE 0.0 END, 6) AS len_km
+FROM v
+WHERE n_pts >= 2
+"""
+
+_B30_ALL_QUERIES_FN = all_queries
+_B30_ALL_ORACLES_FN = all_oracle_sql
+
+_B31_QUERIES = {
+    "geo_station_proximity": q_geo_station_proximity,
+    "geo_route_lengths": q_geo_route_lengths,
+}
+_B31_ORACLES = {
+    "geo_station_proximity": SQL_GEO_STATION_PROXIMITY,
+    "geo_route_lengths": SQL_GEO_ROUTE_LENGTHS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B30_ALL_QUERIES_FN()
+    out.update(_B31_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B30_ALL_ORACLES_FN()
+    out.update(_B31_ORACLES)
+    return out
