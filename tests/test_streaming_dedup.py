@@ -1,0 +1,77 @@
+"""Streaming dedup-index maintenance: per-file micro-batches converge to the
+full-recompute pair set; restarts with a shared checkpoint continue, replays
+are absorbed by the index's batch-id idempotence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ipl_dagster_pipeline_spark.operators.dedup_index import MinHashIndex
+from ipl_dagster_pipeline_spark.operators.text_dedup import minhash_lsh_dedup
+from ipl_dagster_pipeline_spark.streaming.dedup_stream import stream_dedup_index
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def _pairs_set(df):
+    return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+
+def test_stream_converges_to_full_recompute(spark, docs, tmp_path):
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    # two arrival files — one micro-batch each via maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(f"{inp}/f1")
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(f"{inp}/f2")
+    idx = MinHashIndex(str(tmp_path / "idx"))
+
+    q = stream_dedup_index(
+        spark, f"{inp}/*", idx, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    # ≥2 micro-batches actually ran (one per file) and each tagged the index
+    batches = sorted(
+        m["meta"]["batch_id"] for m in idx.docs.snapshots() if m.get("meta", {}).get("batch_id")
+    )
+    assert len(batches) == 2 and all(b.startswith("stream-") for b in batches)
+    assert _pairs_set(idx.all_pairs(spark)) == _pairs_set(minhash_lsh_dedup(docs, threshold=0.5))
+
+
+def test_stream_restart_continues_not_reindexes(spark, docs, tmp_path):
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(f"{inp}/f1")
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    q = stream_dedup_index(spark, f"{inp}/*", idx, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    n_docs_after_first = idx.docs.read(spark).count()
+
+    # second run over the SAME checkpoint with a new arrival: only the new
+    # file is processed (offsets), and the index grows by exactly that batch
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(f"{inp}/f2")
+    q2 = stream_dedup_index(spark, f"{inp}/*", idx, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert idx.docs.read(spark).count() == docs.count()
+    assert n_docs_after_first < docs.count()
+    assert _pairs_set(idx.all_pairs(spark)) == _pairs_set(minhash_lsh_dedup(docs, threshold=0.5))
+
+    # replaying a committed stream batch id by hand is a no-op (crash-replay)
+    before = idx.docs.read(spark).count()
+    idx.add_batch(docs.filter(F.col("doc_id") < 250), batch_id="stream-0")
+    assert idx.docs.read(spark).count() == before
+
+
+def test_stream_rejects_wrong_schema(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    spark.range(5).select(F.col("id").alias("x")).write.parquet(f"{inp}/f1")
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="lacks index column"):
+        stream_dedup_index(spark, f"{inp}/*", idx, str(tmp_path / "ckpt"))
