@@ -4193,3 +4193,73 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B30_ALL_ORACLES_FN()
     out.update(_B31_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 32 (round 5): statistical LM quality scoring — per-doc cross-entropy
+# under the corpus's own bigram MLE (the CCNet-style signal).  Determinism
+# contract: per-occurrence surprisals quantize to INTEGER milli-nats BEFORE
+# the per-doc sum, so aggregation is exact integer arithmetic — reduction-
+# order-independent and bit-identical cross-engine (see operators/lm.py).
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.lm import with_bigram_surprisal
+
+
+def q_doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return with_bigram_surprisal(docs).select(
+        "doc_id", "source", "n_bigrams", "surprisal_mnats", "bits_per_bigram"
+    )
+
+
+SQL_LM_SURPRISAL = """
+WITH w AS (
+    SELECT doc_id, u.w AS w, u.ord AS pos
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         WITH ORDINALITY AS u(w, ord)
+),
+bg AS (
+    SELECT doc_id, a, b FROM (
+        SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS a, w AS b
+        FROM w
+    ) WHERE a IS NOT NULL
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+term AS (
+    SELECT bg.doc_id,
+           CAST(round(-ln(CAST(c_ab AS DOUBLE) / c_a) * 1000) AS BIGINT) AS mn
+    FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(mn) AS s FROM term GROUP BY 1)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(agg.s, 0) AS BIGINT) AS surprisal_mnats,
+       CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+            THEN round(CAST(agg.s AS DOUBLE) / (1000.0 * ln(2.0)) / agg.n_bigrams, 6)
+       END AS bits_per_bigram
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+_B31_ALL_QUERIES_FN = all_queries
+_B31_ALL_ORACLES_FN = all_oracle_sql
+
+_B32_QUERIES = {
+    "doc_lm_surprisal": q_doc_lm_surprisal,
+}
+_B32_ORACLES = {
+    "doc_lm_surprisal": SQL_LM_SURPRISAL,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B31_ALL_QUERIES_FN()
+    out.update(_B32_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B31_ALL_ORACLES_FN()
+    out.update(_B32_ORACLES)
+    return out

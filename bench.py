@@ -63,6 +63,12 @@ EXTENDED = [
     "emb_ivf_topk_oracle",
     "doc_bm25",
     "doc_length_outliers",
+    # round-5 additions: real-BPE budget metering, incremental index probe
+    # (includes its snapshot-table writes), wrapped-grid geo radius join
+    "doc_bpe_token_budget",
+    "doc_incr_index_probe",
+    "geo_station_proximity",
+    "doc_lm_surprisal",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Statistical language-model scoring: corpus bigram cross-entropy per doc.
+
+The classic web-corpus quality signal (CCNet-style): score every document by
+how surprising its word sequence is under a language model.  Here the model
+is the corpus's own bigram MLE — P(b|a) = C(a,b)/C(a) — so the score is
+self-contained (no external model artifact) and every observed bigram has
+nonzero probability by construction: no smoothing constant to tune, and a
+brand-new pipeline can compute it on day one.
+
+Determinism contract: per-occurrence surprisals are quantized to INTEGER
+milli-nats (``round(-ln P × 1000)``) BEFORE the per-doc sum, so the
+aggregation is exact integer arithmetic — associative, commutative,
+partitioning-independent, and bit-identical in any engine.  A float sum of
+logs would depend on reduction order; an integer sum cannot.  ``ln`` itself
+is correctly rounded within 1 ulp in both the JVM and libm, and a 1-ulp
+input wobble flips a milli-nat rounding only if the true value sits within
+~1e-12 of a 0.0005 boundary — not a realistic hazard.
+
+Scale shape: one explode to (doc, pos, word) bigram pairs; bigram and
+unigram-context counts are map-side-combined aggregations over that frame
+(vocabulary-sized, Heaps-sublinear in the corpus); scoring joins occurrences
+back on the bigram key — plain equi shuffle joins, no windows over the
+corpus, no driver round-trips.  For a FIXED external model, the counts
+tables would broadcast instead; semantics unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+
+
+def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per bigram OCCURRENCE: (id, a, b).  Words are lowercased
+    ``[a-z0-9]+`` runs (the tokenizer/textstats convention)."""
+    arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    # guard: Spark's sequence(2, n) DESCENDS for n < 2 — emit no pairs instead
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(arr)),
+            lambda i: F.struct(
+                F.element_at(arr, i - 1).alias("a"), F.element_at(arr, i).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    )
+
+
+def with_bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``docs`` plus the corpus-bigram-LM score columns:
+
+    * ``n_bigrams``      — bigram occurrences in the doc (0 for <2 words)
+    * ``surprisal_mnats``— Σ round(−ln C(a,b)/C(a) × 1000) as exact BIGINT
+    * ``bits_per_bigram``— surprisal / (ln 2 × 1000) / n_bigrams, rounded to
+      6 dp (the human-readable cross-entropy; derived from the two exact
+      integers so it is engine-portable too); NULL when n_bigrams = 0
+
+    High bits_per_bigram = improbable word transitions (gibberish, boiler-
+    plate mixtures, wrong-language fragments); low = repetitive/templated.
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    cnt_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cnt_a = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    scored = (
+        bg.join(cnt_ab, on=["a", "b"])
+        .join(cnt_a, on="a")
+        .withColumn(
+            "__mnats",
+            F.round(-F.log(F.col("c_ab") / F.col("c_a")) * 1000).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__mnats").alias("surprisal_mnats"),
+        )
+    )
+    out = docs.join(scored, on=id_col, how="left")
+    n = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    s = F.coalesce(F.col("surprisal_mnats"), F.lit(0)).cast("long")
+    return (
+        out.withColumn("n_bigrams", n)
+        .withColumn("surprisal_mnats", s)
+        .withColumn(
+            "bits_per_bigram",
+            F.when(
+                n > 0,
+                F.round(s / (F.lit(1000.0) * F.log(F.lit(2.0))) / n, 6),
+            ),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Corpus bigram-LM surprisal: hand-computed MLE on a tiny corpus, integer
+milli-nat exactness, and edge totality (empty/short/null text)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ipl_dagster_pipeline_spark.operators.lm import doc_bigrams, with_bigram_surprisal
+
+
+def test_doc_bigrams_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat"), (2, "one"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = [(r.doc_id, r.a, r.b) for r in doc_bigrams(df).orderBy("doc_id", "a").collect()]
+    assert got == [(1, "cat", "sat"), (1, "the", "cat")]
+
+
+def test_surprisal_matches_hand_mle(spark):
+    # corpus: "a b" ×3, "a c" ×1  →  C(a)=4, C(a,b)=3, C(a,c)=1
+    rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_bigram_surprisal(df).collect()}
+    mn_ab = round(-math.log(3 / 4) * 1000)  # 288
+    mn_ac = round(-math.log(1 / 4) * 1000)  # 1386
+    assert out[1].surprisal_mnats == mn_ab and out[1].n_bigrams == 1
+    assert out[4].surprisal_mnats == mn_ac
+    assert out[4].bits_per_bigram == pytest.approx(mn_ac / 1000 / math.log(2), abs=1e-6)
+    # the rare transition IS more surprising
+    assert out[4].bits_per_bigram > out[1].bits_per_bigram
+
+
+def test_surprisal_totality_and_types(spark):
+    rows = [(1, "x y x y x"), (2, "solo"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_bigram_surprisal(df)
+    dt = dict(out.dtypes)
+    assert dt["n_bigrams"] == "bigint" and dt["surprisal_mnats"] == "bigint"
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_bigrams == 4
+    for d in (2, 3, 4):
+        assert got[d].n_bigrams == 0 and got[d].surprisal_mnats == 0
+        assert got[d].bits_per_bigram is None
+
+
+def test_surprisal_partitioning_invariant(spark):
+    """Integer milli-nat sums are reduction-order-independent: 1 vs 16
+    partitions produce identical totals (the float-sum failure mode this
+    representation exists to rule out)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.doc_id, r.surprisal_mnats, r.n_bigrams)
+        for r in with_bigram_surprisal(docs.coalesce(1)).collect()
+    }
+    b = {
+        (r.doc_id, r.surprisal_mnats, r.n_bigrams)
+        for r in with_bigram_surprisal(docs.repartition(16)).collect()
+    }
+    assert a == b and len(a) == docs.count()
