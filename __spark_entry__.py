@@ -4263,3 +4263,72 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B31_ALL_ORACLES_FN()
     out.update(_B32_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 33 (round 5): exact shingle CONTAINMENT pairs (overlap coefficient) —
+# catches the excerpt-inside-superset duplication symmetric Jaccard misses.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.text_dedup import overlap_pairs
+
+_CT_THRESHOLD, _CT_MAXDF = 0.8, 50
+
+
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs whose 5-gram overlap coefficient |A∩B|/min(|A|,|B|) ≥ 0.8 in
+    the discriminative shingle space (df ≤ 50), contained side named — the
+    quote/excerpt complement of doc_ngram_jaccard, same inverted-index shape."""
+    docs = _read(spark, sf_dir, "documents")
+    return overlap_pairs(docs, threshold=_CT_THRESHOLD, max_df=_CT_MAXDF)
+
+
+SQL_CONTAINMENT = f"""
+WITH {SHINGLE_CTE.strip()},
+df AS (
+    SELECT sh.doc_id, sh.s, count(*) OVER (PARTITION BY s) AS df FROM sh
+),
+rare AS (SELECT doc_id, s FROM df WHERE df <= {_CT_MAXDF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sc AS (
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, overlap,
+       CASE WHEN n_a < n_b THEN doc_a
+            WHEN n_b < n_a THEN doc_b
+            ELSE least(doc_a, doc_b) END AS doc_small
+FROM sc WHERE overlap >= {_CT_THRESHOLD}
+"""
+
+_B32_ALL_QUERIES_FN = all_queries
+_B32_ALL_ORACLES_FN = all_oracle_sql
+
+_B33_QUERIES = {
+    "doc_containment_pairs": q_doc_containment_pairs,
+}
+_B33_ORACLES = {
+    "doc_containment_pairs": SQL_CONTAINMENT,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B32_ALL_QUERIES_FN()
+    out.update(_B33_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B32_ALL_ORACLES_FN()
+    out.update(_B33_ORACLES)
+    return out

@@ -392,3 +392,77 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def overlap_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 5,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    storage_level=None,
+) -> DataFrame:
+    """EXACT all-pairs shingle CONTAINMENT (overlap coefficient,
+    ``|A∩B| / min(|A|,|B|)``) — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: a short document embedded verbatim inside a
+    long one scores low Jaccard (the union is dominated by the long doc) but
+    containment ≈ 1, which is exactly the quote/excerpt/boilerplate-wrapper
+    duplication a training corpus needs to catch.
+
+    Same construction and guarantees as the Jaccard path: candidates share a
+    discriminative shingle (document frequency ≤ ``max_df``, cap riding the
+    inverted-index join's own shuffle), sizes and intersections both live in
+    the filtered shingle space, and dropped-shingle counts are observable via
+    ``metrics.observed_metrics('containment_df_dropped')``.  Output columns
+    name the CONTAINED side explicitly (``doc_small`` = fewer surviving
+    shingles, ties broken to the lower id) so downstream keeper rules can
+    drop the excerpt and keep the superset.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, id_col, text_col, k)
+    wdf = Window.partitionBy("s")
+    sized = tracked_persist(
+        sh.withColumn("__df", F.count(F.lit(1)).over(wdf)), storage_level
+    )
+    obs = register_observation("containment_df_dropped")
+    rare_a = (
+        sized.observe(
+            obs,
+            F.sum((F.col("__df") > max_df).cast("long")).alias("dropped_shingle_rows"),
+            F.count(F.lit(1)).alias("shingle_rows"),
+        )
+        .filter(F.col("__df") <= max_df)
+        .select(F.col(id_col).alias("doc_a"), "s")
+    )
+    rare_b = sized.filter(F.col("__df") <= max_df).select(
+        F.col(id_col).alias("doc_b"), "s"
+    )
+    inter = (
+        rare_a.join(rare_b, (rare_a["s"] == rare_b["s"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = sized.filter(F.col("__df") <= max_df).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_a = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    n_b = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    scored = (
+        inter.join(n_a, "doc_a")
+        .join(n_b, "doc_b")
+        .withColumn("overlap", F.round(F.col("n_inter") / F.least("n_a", "n_b"), 6))
+        .filter(F.col("overlap") >= threshold)
+    )
+    small = F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a")).when(
+        F.col("n_b") < F.col("n_a"), F.col("doc_b")
+    ).otherwise(F.least("doc_a", "doc_b"))
+    return scored.select(
+        "doc_a", "doc_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "overlap",
+        small.alias("doc_small"),
+    )
