@@ -108,3 +108,39 @@ def test_dimensions_cleaning_on_empty(spark, empty_docs):
     bench = spark.createDataFrame([(1, "contaminating text")], "doc_id long, text string")
     flags = contamination_flags(empty_docs, bench)
     assert flags.count() == 0
+
+
+def test_round5_operators_on_empty(empty_docs, spark):
+    from ipl_dagster_pipeline_spark.functions.geo import grid_radius_join
+    from ipl_dagster_pipeline_spark.operators.lm import with_bigram_surprisal
+    from ipl_dagster_pipeline_spark.operators.text_dedup import overlap_pairs
+    from ipl_dagster_pipeline_spark.operators.tokenizer import with_bpe_token_counts
+
+    out = with_bpe_token_counts(empty_docs)
+    assert "n_bpe_tokens" in out.columns and out.count() == 0
+    lm = with_bigram_surprisal(empty_docs)
+    assert {"n_bigrams", "surprisal_mnats", "bits_per_bigram"} <= set(lm.columns)
+    assert lm.count() == 0
+    ct = overlap_pairs(empty_docs)
+    assert ct.columns == ["doc_a", "doc_b", "n_inter", "n_a", "n_b", "overlap", "doc_small"]
+    assert ct.count() == 0
+    pts = spark.createDataFrame([], "p_id long, p_lon double, p_lat double")
+    ctr = spark.createDataFrame([], "c_id long, c_lon double, c_lat double")
+    gj = grid_radius_join(pts, ctr, 100.0, p_lon="p_lon", p_lat="p_lat", c_lon="c_lon", c_lat="c_lat")
+    assert gj.count() == 0 and "dist_km" in gj.columns
+
+
+def test_dedup_index_on_empty_batch(empty_docs, spark, tmp_path):
+    """An empty arrival (quiet day) must commit cleanly and change nothing."""
+    from ipl_dagster_pipeline_spark.operators.dedup_index import MinHashIndex
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    docs = spark.createDataFrame(
+        [(1, "the same text the same text"), (2, "the same text the same text")],
+        "doc_id long, text string",
+    )
+    idx.add_batch(docs, batch_id="b1")
+    n_pairs = idx.all_pairs(spark).count()
+    out = idx.add_batch(empty_docs.select("doc_id", "text"), batch_id="empty")
+    assert out.count() == 0
+    assert idx.all_pairs(spark).count() == n_pairs

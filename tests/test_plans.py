@@ -115,3 +115,49 @@ def test_scd2_history_single_exchange_single_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort ") == 1, plan
     assert "SinglePartition" not in plan
+
+
+def test_geo_radius_join_plan_is_equi_broadcast(spark):
+    """Scale contract for the geo radius join: candidate generation is an
+    EQUI join on the grid cell (broadcast when centers are small) — never a
+    CartesianProduct/BroadcastNestedLoopJoin theta join on the distance
+    predicate — and the haversine refine runs inside codegen, not Python."""
+    from ipl_dagster_pipeline_spark.functions.geo import grid_radius_join
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("p_id"),
+        (((F.col("id") * 31) % 7200) / 20.0 - 180.0).alias("p_lon"),
+        (((F.col("id") * 17) % 2600) / 20.0 - 65.0).alias("p_lat"),
+    )
+    ctrs = spark.range(50).select(
+        F.col("id").alias("c_id"),
+        (((F.col("id") * 97) % 7200) / 20.0 - 180.0).alias("c_lon"),
+        (((F.col("id") * 53) % 2600) / 20.0 - 65.0).alias("c_lat"),
+    )
+    out = grid_radius_join(pts, ctrs, 200.0, p_lon="p_lon", p_lat="p_lat",
+                           c_lon="c_lon", c_lat="c_lat")
+    counts = _node_counts(spark, out)
+    assert counts.get("CartesianProduct", 0) == 0, counts
+    assert counts.get("BroadcastNestedLoopJoin", 0) == 0, counts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan
+
+
+def test_lm_and_containment_plans_stay_jvm_side(spark):
+    """The bigram-LM scorer and containment pairs are pure DataFrame plans:
+    equi joins only, zero Python eval nodes, and the count aggregations are
+    map-side combined (partial_count present)."""
+    from ipl_dagster_pipeline_spark.operators.lm import with_bigram_surprisal
+    from ipl_dagster_pipeline_spark.operators.text_dedup import overlap_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for out in (with_bigram_surprisal(docs), overlap_pairs(docs, max_df=50)):
+        counts = _node_counts(spark, out)
+        assert counts.get("CartesianProduct", 0) == 0, counts
+        assert counts.get("BroadcastNestedLoopJoin", 0) == 0, counts
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for bad in ("ArrowEvalPython", "BatchEvalPython"):
+            assert bad not in plan
+        assert "partial_count" in plan or "partial count" in plan.lower()
