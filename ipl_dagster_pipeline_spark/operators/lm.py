@@ -66,10 +66,15 @@ def with_bigram_surprisal(
     plate mixtures, wrong-language fragments); low = repetitive/templated.
     """
     bg = doc_bigrams(docs, id_col, text_col)
-    cnt_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    cnt_a = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    # reduce to per-doc DISTINCT bigrams with occurrence counts FIRST (one
+    # map-side-combined agg), so the count-table joins move (doc, bigram)
+    # rows, not raw occurrences — the same distinct-vocabulary trick the BPE
+    # tokenizer uses
+    occ = bg.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("n_occ"))
+    cnt_ab = occ.groupBy("a", "b").agg(F.sum("n_occ").alias("c_ab"))
+    cnt_a = occ.groupBy("a").agg(F.sum("n_occ").alias("c_a"))
     scored = (
-        bg.join(cnt_ab, on=["a", "b"])
+        occ.join(cnt_ab, on=["a", "b"])
         .join(cnt_a, on="a")
         .withColumn(
             "__mnats",
@@ -77,8 +82,8 @@ def with_bigram_surprisal(
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("__mnats").alias("surprisal_mnats"),
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("__mnats")).alias("surprisal_mnats"),
         )
     )
     out = docs.join(scored, on=id_col, how="left")
