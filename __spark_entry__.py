@@ -4332,3 +4332,67 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B32_ALL_ORACLES_FN()
     out.update(_B33_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 34 (round 5): per-source unigram KL divergence vs the corpus — the
+# ingest drift monitor, same integer milli-nat determinism contract as
+# doc_lm_surprisal; the injected NULL source stratum exercises the
+# null-group eqNullSafe path (joined with IS NOT DISTINCT FROM in the oracle).
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.lm import source_kl_divergence
+
+
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _null_stratum(_read(spark, sf_dir, "documents"), "source", 7)
+    return source_kl_divergence(docs)
+
+
+SQL_SOURCE_KL = """
+WITH d AS (
+    SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS g, text
+    FROM documents
+),
+wd AS (SELECT g, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM d),
+ngw AS (SELECT g, w, count(*) AS n_gw FROM wd GROUP BY 1, 2),
+nw AS (SELECT w, CAST(sum(n_gw) AS BIGINT) AS n_w FROM ngw GROUP BY 1),
+tg AS (SELECT g, CAST(sum(n_gw) AS BIGINT) AS t_g FROM ngw GROUP BY 1),
+tall AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_all FROM nw),
+term AS (
+    SELECT ngw.g, ngw.n_gw, tg.t_g,
+           CAST(round(ln((CAST(n_gw AS DOUBLE) * t_all)
+                         / (CAST(t_g AS DOUBLE) * n_w)) * 1000) AS BIGINT) AS mn
+    FROM ngw
+    JOIN nw USING (w)
+    JOIN tg ON ngw.g IS NOT DISTINCT FROM tg.g
+    CROSS JOIN tall
+),
+agg AS (SELECT g, t_g, CAST(sum(n_gw * mn) AS BIGINT) AS klw FROM term GROUP BY 1, 2)
+SELECT g AS source,
+       t_g AS n_tokens,
+       klw AS kl_mnats_weighted,
+       round(CAST(klw AS DOUBLE) / 1000.0 / t_g, 6) AS kl_nats
+FROM agg
+"""
+
+_B33_ALL_QUERIES_FN = all_queries
+_B33_ALL_ORACLES_FN = all_oracle_sql
+
+_B34_QUERIES = {
+    "source_unigram_kl": q_source_unigram_kl,
+}
+_B34_ORACLES = {
+    "source_unigram_kl": SQL_SOURCE_KL,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B33_ALL_QUERIES_FN()
+    out.update(_B34_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B33_ALL_ORACLES_FN()
+    out.update(_B34_ORACLES)
+    return out

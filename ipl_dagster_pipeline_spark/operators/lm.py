@@ -100,3 +100,63 @@ def with_bigram_surprisal(
             ),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group unigram KL divergence vs the whole corpus — the drift /
+    contamination monitor a mixture pipeline runs per ingest: a source whose
+    token distribution diverges hard from the corpus is mislabeled, corrupted,
+    or a different language.
+
+    KL(P_g ‖ P) = Σ_w P_g(w) · ln(P_g(w)/P(w)) with MLE probabilities, so
+    every group word exists in the corpus and the sum is finite.  Same
+    determinism contract as :func:`with_bigram_surprisal`: the log-ratio of
+    each word quantizes to INTEGER milli-nats first, the weighted sum
+    Σ n_gw · mnat_w is exact integer arithmetic, and the final division by
+    the (integer) group token count happens once at the end — identical in
+    any engine, under any partitioning.
+
+    Scale shape: one explode to (group, word) with a map-side-combined count,
+    corpus word counts re-aggregated FROM the group counts (never a second
+    pass over the text), totals joined back — all equi joins on the word;
+    the group-totals frame is group-cardinality-sized and broadcasts.
+    Null group keys form their own group (eqNullSafe-style semantics via
+    null-preserving groupBy).
+    """
+    words = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("w"),
+    )
+    n_gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n_gw"))
+    n_w = n_gw.groupBy("w").agg(F.sum("n_gw").alias("n_w"))
+    t_g = n_gw.groupBy("g").agg(F.sum("n_gw").alias("t_g")).withColumnRenamed("g", "__g2")
+    t_all = n_w.agg(F.sum("n_w").alias("t_all"))
+    scored = (
+        n_gw.join(n_w, on="w")
+        # eqNullSafe: a NULL group key is a real group and must keep its total
+        .join(F.broadcast(t_g), F.col("g").eqNullSafe(F.col("__g2")))
+        .drop("__g2")
+        .crossJoin(F.broadcast(t_all))  # 1-row total — a literal at scale
+        .withColumn(
+            "__mnats",
+            F.round(
+                F.log(
+                    (F.col("n_gw").cast("double") * F.col("t_all"))
+                    / (F.col("t_g").cast("double") * F.col("n_w"))
+                )
+                * 1000
+            ).cast("long"),
+        )
+        .groupBy("g", "t_g")
+        .agg(F.sum(F.col("n_gw") * F.col("__mnats")).alias("kl_mnats_weighted"))
+    )
+    return scored.select(
+        F.col("g").alias(group_col),
+        F.col("t_g").cast("long").alias("n_tokens"),
+        F.col("kl_mnats_weighted").cast("long").alias("kl_mnats_weighted"),
+        F.round(F.col("kl_mnats_weighted") / F.lit(1000.0) / F.col("t_g"), 6).alias("kl_nats"),
+    )

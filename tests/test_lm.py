@@ -61,3 +61,38 @@ def test_surprisal_partitioning_invariant(spark):
         for r in with_bigram_surprisal(docs.repartition(16)).collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_source_kl_divergence_hand_computed(spark):
+    """Two groups over a 2-word vocabulary, hand-computable KL; NULL group is
+    a real group; identical distribution → KL exactly 0."""
+    rows = [
+        (1, "x x x y", "s1"),      # P_s1 = (3/4, 1/4)
+        (2, "x y y y", "s2"),      # P_s2 = (1/4, 3/4)
+        (3, "x x x y", None),      # NULL group, same dist as s1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from ipl_dagster_pipeline_spark.operators.lm import source_kl_divergence
+
+    out = {r.source: r for r in source_kl_divergence(df).collect()}
+    assert set(out) == {"s1", "s2", None}
+    # corpus: x 7/12, y 5/12.  KL(s1||P) = 3/4 ln(9/7) + 1/4 ln(3/5)
+    import math
+
+    mn = lambda r: round(math.log(r) * 1000)  # noqa: E731
+    expect_s1 = 3 * mn((3 / 4) * (12 / 7)) + 1 * mn((1 / 4) * (12 / 5))
+    assert out["s1"].kl_mnats_weighted == expect_s1
+    assert out[None].kl_mnats_weighted == expect_s1  # null group scored too
+    assert out["s1"].n_tokens == 4
+    assert out["s1"].kl_nats == round(expect_s1 / 1000 / 4, 6)
+    # s2 diverges MORE (its majority word is the corpus minority)
+    assert out["s2"].kl_nats > out["s1"].kl_nats > 0
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    rows = [(i, "a b c", f"s{i % 3}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from ipl_dagster_pipeline_spark.operators.lm import source_kl_divergence
+
+    for r in source_kl_divergence(df).collect():
+        assert r.kl_mnats_weighted == 0 and r.kl_nats == 0.0
