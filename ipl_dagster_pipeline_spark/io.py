@@ -221,3 +221,65 @@ def read_day_range(spark: SparkSession, path: str, start_day: str | None = None,
     if end_day:
         df = df.filter(F.col("day") <= F.lit(end_day))
     return df
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: "SnapshotTable",
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Content-level change-data-capture between two committed snapshots:
+    one row per key whose state changed, tagged ``added`` / ``removed`` /
+    ``changed``.
+
+    ``read_incremental`` answers "what rows arrived" and degrades to a
+    conservative full state across overwrites; this answers the DIMENSION
+    question — "which keys differ between publish A and publish B" — exactly,
+    regardless of how the states were produced (appends, overwrites,
+    compactions).  Comparison is a full outer join on the keys with an
+    order-insensitive crc32 struct checksum over the non-key columns — one
+    shuffle per side, no collect, no row-order sensitivity.
+
+    Keys must be unique per snapshot (the K3 uniqueness contract dimension
+    tables already carry); duplicate keys raise rather than silently
+    producing a many-to-many diff.
+    """
+    from pyspark.sql import functions as F
+
+    a = table.read(spark, snapshot_id=from_snapshot_id)
+    b = table.read(spark, snapshot_id=to_snapshot_id)
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+        )
+    val_cols = sorted(c for c in a.columns if c not in key_cols)
+
+    def _digest(df: DataFrame, tag: str) -> DataFrame:
+        out = df.select(
+            *key_cols,
+            F.crc32(
+                F.to_json(F.struct(*[F.col(c) for c in val_cols])).cast("binary")
+            ).alias(f"__crc_{tag}"),
+        )
+        dup = out.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        if dup.head(1):
+            raise ValueError(
+                f"snapshot {tag} has duplicate keys {key_cols} — diff requires "
+                "the K3 uniqueness contract"
+            )
+        return out
+
+    old, new = _digest(a, "old"), _digest(b, "new")
+    joined = old.join(new, on=key_cols, how="full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("__crc_old").isNull(), F.lit("added"))
+            .when(F.col("__crc_new").isNull(), F.lit("removed"))
+            .when(F.col("__crc_old") != F.col("__crc_new"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -264,3 +264,26 @@ def test_no_per_row_python_udfs():
     for f in files:
         t = f.read_text()
         assert "F.udf(" not in t and "@F.udf" not in t and "udf.register" not in t, f
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """Content CDC between snapshots: added/removed/changed by key, exact
+    across overwrites (where read_incremental degrades to full state), and
+    loud on duplicate keys."""
+    import pytest
+
+    from ipl_dagster_pipeline_spark.io import snapshot_diff
+
+    tbl = SnapshotTable(str(tmp_path / "dim"))
+    s1 = tbl.commit(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"))
+    s2 = tbl.commit(spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, name string, v long"))
+    got = {(r.k, r.change) for r in snapshot_diff(spark, tbl, s1, s2, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+    # identical snapshots → empty diff
+    assert snapshot_diff(spark, tbl, s2, s2, ["k"]).count() == 0
+    # duplicate keys violate the K3 contract → loud
+    tbl.commit(spark.createDataFrame([(1, "x", 1), (1, "y", 2)], "k long, name string, v long"))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(spark, tbl, s2, tbl.current_snapshot_id(), ["k"]).collect()
