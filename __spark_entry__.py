@@ -4396,3 +4396,56 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B33_ALL_ORACLES_FN()
     out.update(_B34_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 35 (round 5): temperature-flattened mixture sampling — keep prob per
+# stratum ∝ n_s^(alpha-1) normalized to the largest stratum (the standard
+# multilingual-corpus rebalance); NULL stratum injected and real.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sampling import sample_temperature
+
+_TMP_ALPHA, _TMP_SCALE, _TMP_SEED = 0.5, 0.35, 19
+
+
+def q_doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _null_stratum(_read(spark, sf_dir, "documents"), "source", 7)
+    return sample_temperature(
+        docs, "source", "doc_id", alpha=_TMP_ALPHA, scale=_TMP_SCALE, seed=_TMP_SEED
+    ).select("doc_id", "source", "n_chars")
+
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH d AS (
+    SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source, n_chars
+    FROM documents
+),
+c AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+m AS (SELECT max(n_s) AS n_max FROM c)
+SELECT doc_id, source, n_chars
+FROM d JOIN c ON d.source IS NOT DISTINCT FROM c.source CROSS JOIN m
+WHERE {_duck_hash(_TMP_SEED, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} % 10000
+      < CAST(round(least(greatest({_TMP_SCALE!r} * pow(CAST(n_s AS DOUBLE) / n_max, {_TMP_ALPHA - 1.0!r}), 0.0), 1.0) * 10000) AS BIGINT)
+"""
+
+_B34_ALL_QUERIES_FN = all_queries
+_B34_ALL_ORACLES_FN = all_oracle_sql
+
+_B35_QUERIES = {
+    "doc_temperature_sample": q_doc_temperature_sample,
+}
+_B35_ORACLES = {
+    "doc_temperature_sample": SQL_TEMPERATURE_SAMPLE,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B34_ALL_QUERIES_FN()
+    out.update(_B35_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B34_ALL_ORACLES_FN()
+    out.update(_B35_ORACLES)
+    return out

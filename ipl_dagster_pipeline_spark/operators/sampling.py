@@ -124,6 +124,43 @@ def sample_weighted(
     return df.filter(bucket < bound)
 
 
+def sample_temperature(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    scale: float = 1.0,
+    seed: int = 19,
+    granularity: int = GRANULARITY,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: keep probability per stratum
+    ∝ ``n_s^(alpha-1)``, normalized so the LARGEST stratum keeps ``scale`` —
+    the standard multi-source rebalance (alpha=1 keeps proportions; alpha→0
+    approaches uniform across strata; the multilingual-corpus flattening
+    rule).  Upweighting beyond 1.0 clamps (this op THINS; pair with
+    ``mixture_epochs`` to upsample small strata).
+
+    Strata sizes come from one map-side-combined aggregation and broadcast
+    back (strata-cardinality rows); the keep decision is
+    :func:`sample_weighted`'s deterministic hash rule — pure projection +
+    filter, reproducible at any parallelism.  NULL strata are real strata
+    (eqNullSafe join).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    counts = df.groupBy(F.col(strata_col).alias("__s2")).agg(F.count(F.lit(1)).alias("__n_s"))
+    n_max = counts.agg(F.max("__n_s").alias("__n_max"))
+    joined = (
+        df.join(F.broadcast(counts), F.col(strata_col).eqNullSafe(F.col("__s2")))
+        .drop("__s2")
+        .crossJoin(F.broadcast(n_max))  # 1 row — a literal at scale
+    )
+    w = F.lit(scale) * F.pow(F.col("__n_s") / F.col("__n_max"), F.lit(alpha - 1.0))
+    return sample_weighted(joined, key_col, w, seed, granularity).drop("__n_s", "__n_max")
+
+
 def mixture_epochs(
     df: DataFrame,
     strata_col: str,

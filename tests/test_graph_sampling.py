@@ -427,3 +427,39 @@ def test_group_quantiles_null_group_survives(spark):
     n = got[None]
     assert (n.n, n.p25, n.p50, n.p90) == (100, 34, 59, 99)
     assert (got["b"].n, got["b"].p50) == (1, 7)
+
+
+def test_sample_temperature_flattens_mixture(spark):
+    """alpha<1 keeps a LARGER fraction of small strata than of big ones;
+    alpha=1 keeps ~scale of everything; null strata are real strata;
+    determinism under repartitioning."""
+    from ipl_dagster_pipeline_spark.operators.sampling import sample_temperature
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(i + 10000, "small") for i in range(250)]
+        + [(i + 20000, None) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_temperature(df, "source", "doc_id", alpha=0.5, scale=0.4)
+    kept = {s: n for s, n in out.groupBy("source").count().collect()}
+    # keep probs: big 0.4, null 0.4*sqrt(4)=0.8, small 0.4*sqrt(16)=1.6→clamped
+    frac_big = kept.get("big", 0) / 4000
+    frac_small = kept.get("small", 0) / 250
+    frac_null = kept.get(None, 0) / 1000
+    assert 0.35 < frac_big < 0.45
+    assert frac_small == 1.0           # clamped: every row kept
+    assert 0.72 < frac_null < 0.88     # null stratum is real AND mid-weighted
+    assert frac_big < frac_null < frac_small  # monotone in stratum size
+    # deterministic: identical keep set at different parallelism
+    again = sample_temperature(df.repartition(13), "source", "doc_id", alpha=0.5, scale=0.4)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # alpha=1 → plain proportional thinning of every stratum
+    flat = sample_temperature(df, "source", "doc_id", alpha=1.0, scale=0.5)
+    for s, n in flat.groupBy("source").count().collect():
+        total = {"big": 4000, "small": 250, None: 1000}[s]
+        assert 0.4 < n / total < 0.6
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        sample_temperature(df, "source", "doc_id", alpha=1.5)
