@@ -69,6 +69,8 @@ EXTENDED = [
     "doc_incr_index_probe",
     "geo_station_proximity",
     "doc_lm_surprisal",
+    "doc_containment_pairs",
+    "source_unigram_kl",
 ]
 
 

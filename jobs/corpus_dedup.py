@@ -15,7 +15,9 @@ Checkpointed stages (atomic snapshot commit + lineage per stage; rerun = resume)
                round-robin shard per doc, for balanced training shards
 
 ``--token-budget N`` caps each source at N tokens (deterministic hash-order
-walk under the keyed distributed prefix sum) before the fold split.
+walk under the keyed distributed prefix sum) before the fold split;
+``--bpe`` meters that budget in real merges-table BPE tokens;
+``--max-bits-per-bigram X`` adds the corpus-bigram-LM quality gate.
 """
 
 from __future__ import annotations
@@ -58,6 +60,10 @@ def main() -> None:
     ap.add_argument("--bpe", action="store_true",
                     help="meter the token budget in REAL BPE tokens "
                          "(operators/tokenizer.py) instead of whitespace tokens")
+    ap.add_argument("--max-bits-per-bigram", type=float, default=0.0,
+                    help="drop docs whose corpus-bigram-LM cross-entropy exceeds this "
+                         "bound (operators/lm.py; 0 = no LM gate).  High = improbable "
+                         "word transitions: gibberish / mixed boilerplate")
     ap.add_argument("--shards", type=int, default=0,
                     help="emit a sharded stage with shuffle position + shard id (0 = skip)")
     args = ap.parse_args()
@@ -72,6 +78,10 @@ def main() -> None:
             from ipl_dagster_pipeline_spark.operators.tokenizer import with_bpe_token_counts
 
             s = with_bpe_token_counts(s)
+        if args.max_bits_per_bigram:
+            from ipl_dagster_pipeline_spark.operators.lm import with_bigram_surprisal
+
+            s = with_bigram_surprisal(s)
         return s
 
     stats = pipe.stage("stats", _stats)
@@ -83,6 +93,13 @@ def main() -> None:
         # eligibility first (exact keeper + quality), then near-dup keepers
         # re-keyed to surviving members — see cleaning.curate_keepers
         kept = curate_keepers(stats, exact, groups, min_alpha_ratio=args.min_alpha_ratio)
+        if args.max_bits_per_bigram:
+            # LM gate: keep docs with plausible word transitions (NULL score =
+            # <2 words — those pass; the length gates own that case)
+            kept = kept.filter(
+                F.col("bits_per_bigram").isNull()
+                | (F.col("bits_per_bigram") <= args.max_bits_per_bigram)
+            )
         if args.token_budget:
             kept = token_budget_select(
                 kept, "source", "doc_id",

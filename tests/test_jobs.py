@@ -127,3 +127,17 @@ def test_corpus_job_budget_shards_resume_and_determinism(spark, monkeypatch, tmp
     _run_job(monkeypatch, out, "--force")
     assert {s: pipe.table(s).current_snapshot_id() for s in STAGES} != snaps_before
     assert _checksums(spark, out) == first
+
+
+def test_corpus_job_lm_gate(spark, monkeypatch, tmp_path):
+    """--max-bits-per-bigram gates curation on the corpus-LM score: the
+    stats stage carries the score columns and no curated doc exceeds the
+    bound (NULL-scored short docs pass through to the length gates)."""
+    out = str(tmp_path / "corpus_lm")
+    _run_job(monkeypatch, out, "--max-bits-per-bigram", "9.0")
+    pipe = CheckpointedPipeline(spark, out)
+    stats = pipe.table("stats").read(spark)
+    assert {"n_bigrams", "surprisal_mnats", "bits_per_bigram"} <= set(stats.columns)
+    curated = pipe.table("curated").read(spark)
+    assert curated.filter(F.col("bits_per_bigram") > 9.0).count() == 0
+    assert curated.count() > 0  # the gate is a filter, not a wipe
