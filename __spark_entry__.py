@@ -4449,3 +4449,79 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B34_ALL_ORACLES_FN()
     out.update(_B35_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 36 (round 5): leakage-safe target encoding — point-in-time expanding
+# per-key label stats (strictly-earlier rows only) with empirical-Bayes
+# smoothing.  The zero-temporal-leakage contract made into a feature
+# operator: integer micro-unit label sums (exact, window-tree-independent),
+# smoothed value derived from exact integers and rounded once at the end.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.encoding import target_encode_pit
+
+_TE_SMOOTH = 20
+
+
+def q_event_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT target-encode user_id by the event `value` label: each event sees
+    only that user's STRICTLY earlier events (ts, event_id order) — its own
+    label never feeds its own feature.  Prior = global mean of the same
+    frame (backfill-over-closed-corpus mode; see operators/encoding.py for
+    the live-scoring caveat)."""
+    ev = _read(spark, sf_dir, "events")
+    out = target_encode_pit(
+        ev, key_col="user_id", label_col="value",
+        order_cols=["ts", "event_id"], smoothing=_TE_SMOOTH,
+    )
+    return out.select("event_id", "user_id", "te_cnt", "te_sum_micro", "te_value")
+
+
+SQL_TARGET_ENCODE = f"""
+WITH lbl AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 1000000) AS BIGINT) AS lm
+    FROM events
+),
+g AS (
+    SELECT CAST(coalesce(sum(lm), 0) AS BIGINT) AS p_num,
+           CAST(count(lm) AS BIGINT) AS p_den
+    FROM lbl
+),
+w AS (
+    SELECT event_id, user_id,
+           CAST(coalesce(count(lm) OVER win, 0) AS BIGINT) AS te_cnt,
+           CAST(coalesce(sum(lm) OVER win, 0) AS BIGINT) AS te_sum_micro
+    FROM lbl
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, te_cnt, te_sum_micro,
+       round(CAST(CAST(te_sum_micro AS HUGEINT) * p_den
+                  + {_TE_SMOOTH} * CAST(p_num AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(te_cnt + {_TE_SMOOTH} AS HUGEINT) * p_den * 1000000 AS DOUBLE),
+             6) AS te_value
+FROM w CROSS JOIN g
+"""
+
+_B35_ALL_QUERIES_FN = all_queries
+_B35_ALL_ORACLES_FN = all_oracle_sql
+
+_B36_QUERIES = {
+    "event_target_encode": q_event_target_encode,
+}
+_B36_ORACLES = {
+    "event_target_encode": SQL_TARGET_ENCODE,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B35_ALL_QUERIES_FN()
+    out.update(_B36_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B35_ALL_ORACLES_FN()
+    out.update(_B36_ORACLES)
+    return out
