@@ -4525,3 +4525,90 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B35_ALL_ORACLES_FN()
     out.update(_B36_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 37 (round 5): exponentially time-decayed activity features — exact
+# integer decay arithmetic over a pre-aggregated (key, day) frame, exploded
+# onto its contribution days and equi-joined back (never a per-row range
+# self-join).  The decay curve is a Python-materialized integer literal
+# table shared verbatim by the Spark plan and the oracle SQL.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.decay import decay_weights, with_decayed_counts
+
+_DK_HL, _DK_H, _DK_BITS = 7.0, 28, 16
+_DK_WT = decay_weights(_DK_HL, _DK_H, _DK_BITS)
+
+
+def q_event_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event recency-weighted user activity (half-life 7 d, horizon 28 d)
+    over strictly-past days; NULL user stratum injected so the null-safe
+    join-back is exercised by the value hash."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    out = with_decayed_counts(
+        ev, "user_id", ts_col="ts", value_col="value",
+        half_life_days=_DK_HL, horizon_days=_DK_H, scale_bits=_DK_BITS,
+    )
+    return out.select(
+        "event_id", "user_id", "decayed_cnt_q", "decayed_cnt", "decayed_sum_q", "decayed_sum"
+    )
+
+
+_DK_WT_VALUES = ", ".join(f"({d}, {w})" for d, w in _DK_WT)
+_DK_SCALE = 1 << _DK_BITS
+
+SQL_DECAYED_FEATURES = f"""
+WITH e AS (
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           value
+    FROM events
+),
+a AS (
+    SELECT user_id, day, count(*) AS c,
+           CAST(coalesce(sum(CAST(round(value * 1000000) AS BIGINT)), 0) AS BIGINT) AS s
+    FROM e GROUP BY 1, 2
+),
+wt(delta, w) AS (VALUES {_DK_WT_VALUES}),
+x AS (
+    SELECT user_id, day + delta AS day,
+           CAST(w AS HUGEINT) * c AS wc, CAST(w AS HUGEINT) * s AS ws
+    FROM a CROSS JOIN wt
+),
+dec AS (SELECT user_id, day, sum(wc) AS qc, sum(ws) AS qs FROM x GROUP BY 1, 2)
+SELECT e.event_id, e.user_id,
+       CAST(coalesce(qc, 0) AS BIGINT) AS decayed_cnt_q,
+       round(CAST(coalesce(qc, 0) AS BIGINT) / {_DK_SCALE}.0, 6) AS decayed_cnt,
+       CAST(coalesce(qs, 0) AS BIGINT) AS decayed_sum_q,
+       round(CAST(coalesce(qs, 0) AS BIGINT) / ({_DK_SCALE}.0 * 1000000.0), 6) AS decayed_sum
+FROM e LEFT JOIN dec
+  ON e.user_id IS NOT DISTINCT FROM dec.user_id AND e.day = dec.day
+"""
+
+_B36_ALL_QUERIES_FN = all_queries
+_B36_ALL_ORACLES_FN = all_oracle_sql
+
+_B37_QUERIES = {
+    "event_decayed_features": q_event_decayed_features,
+}
+_B37_ORACLES = {
+    "event_decayed_features": SQL_DECAYED_FEATURES,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B36_ALL_QUERIES_FN()
+    out.update(_B37_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B36_ALL_ORACLES_FN()
+    out.update(_B37_ORACLES)
+    return out
