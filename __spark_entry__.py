@@ -4612,3 +4612,89 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B36_ALL_ORACLES_FN()
     out.update(_B37_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 38 (round 5): deterministic HyperLogLog distinct sketch — portable
+# 60-bit-hash registers replayed bucket-by-bucket in the oracle (the
+# approx_count_distinct capability, made engine-portable and mergeable);
+# exact COUNT DISTINCT alongside for error visibility.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sketches import (
+    HLL_M,
+    HLL_NUMERATOR,
+    HLL_SMALL_RANGE,
+    hll_distinct,
+)
+
+_HLL_SEED = 41
+
+
+def q_event_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: HLL estimate (64 buckets) + exact —
+    the register frame is ≤ 64 rows per group however large the input."""
+    ev = _read(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], F.col("user_id"), seed=_HLL_SEED).alias("E")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+        .alias("X")
+    )
+    return (
+        est.join(exact, F.col("E.event_type").eqNullSafe(F.col("X.event_type")))
+        .select("E.event_type", "hll_nonempty", "hll_z_scaled", "hll_est", "n_exact")
+    )
+
+
+SQL_HLL_USERS = f"""
+WITH h AS (
+    SELECT event_type,
+           {_duck_hash(_HLL_SEED, "CAST(user_id AS VARCHAR)")} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+    SELECT event_type, h & {HLL_M - 1} AS bucket,
+           max(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END) AS m
+    FROM h GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS hll_nonempty,
+           CAST(sum(CAST(1 AS BIGINT) << (55 - m))
+                + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS hll_z_scaled
+    FROM reg GROUP BY 1
+),
+ex AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT agg.event_type, hll_nonempty, hll_z_scaled,
+       round(CASE WHEN {HLL_NUMERATOR!r} / CAST(hll_z_scaled AS DOUBLE) <= {HLL_SMALL_RANGE!r}
+                       AND {HLL_M} - hll_nonempty > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - hll_nonempty))
+                  ELSE {HLL_NUMERATOR!r} / CAST(hll_z_scaled AS DOUBLE) END,
+             4) AS hll_est,
+       n_exact
+FROM agg JOIN ex ON agg.event_type IS NOT DISTINCT FROM ex.event_type
+"""
+
+_B37_ALL_QUERIES_FN = all_queries
+_B37_ALL_ORACLES_FN = all_oracle_sql
+
+_B38_QUERIES = {
+    "event_hll_users": q_event_hll_users,
+}
+_B38_ORACLES = {
+    "event_hll_users": SQL_HLL_USERS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B37_ALL_QUERIES_FN()
+    out.update(_B38_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B37_ALL_ORACLES_FN()
+    out.update(_B38_ORACLES)
+    return out

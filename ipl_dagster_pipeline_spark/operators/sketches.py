@@ -1,0 +1,120 @@
+"""Mergeable cardinality sketches: deterministic HyperLogLog.
+
+``approx_count_distinct`` is engine-internal (its registers are not
+portable), so this module builds HLL from first principles on the portable
+60-bit md5 hash (``text_dedup.portable_hash``): every register value, and
+therefore every estimate, is bit-identical across engines and replayable in
+plain SQL — the same determinism contract as the MinHash/LSH family.
+
+Register construction (p = 6 ⇒ m = 64 buckets):
+
+* ``bucket = hash & 63`` — low p bits
+* ``rest   = hash >> 6`` — the remaining 54 bits
+* ``rank   = 55 − bitlength(rest)`` (leading zeros in the 54-bit field + 1;
+  rest = 0 ⇒ rank 55) — via ``length(bin(x))``, exact integer both engines
+* register ``M_j = max(rank)`` per (group, bucket)
+
+The sparse register frame (only non-empty buckets) IS the sketch, and it is
+the whole scale story: sketches merge by elementwise MAX, so partial
+registers combine map-side, shuffle one tiny row per (group, bucket) — at
+most 64 rows per group regardless of input size — and UNION of inputs ==
+MAX-merge of their sketches (tested).  That is how a 100 TB distinct-count
+runs as a single map-side-combined aggregation; the raw values are never
+shuffled.
+
+Estimation: ``E_raw = α_64 · m² / Σ_j 2^−M_j`` with the Flajolet small-range
+linear-counting correction (``E ≤ 2.5m`` and empty buckets exist ⇒
+``m·ln(m/V)``).  The harmonic sum is computed as the exact integer
+``Z_scaled = Σ 2^(55−M_j)`` (≤ 64·2^55 < 2^63, BIGINT-safe) so the only
+floats are one literal-constant division and one ``ln`` — identical
+cross-engine; no large-range correction is needed because the 60-bit hash
+space makes collision bias negligible below ~2^30 distinct values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ipl_dagster_pipeline_spark.operators.text_dedup import portable_hash
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 buckets
+_REST_BITS = 60 - HLL_P  # 54
+_MAX_RANK = _REST_BITS + 1  # 55
+# alpha_m = 0.7213 / (1 + 1.079/m), the standard bias constant for m ≥ 64
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# E_raw = (ALPHA * m^2 * 2^54... ) — numerator precomputed once so both
+# engines divide the SAME double constant by the exact integer Z_scaled
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << _MAX_RANK)
+HLL_SMALL_RANGE = 2.5 * HLL_M
+
+
+def hll_rank(rest: Column) -> Column:
+    """55 − bitlength(rest) for the 54-bit remainder; rest = 0 ⇒ 55."""
+    return F.when(rest == 0, F.lit(_MAX_RANK)).otherwise(
+        F.lit(_MAX_RANK) - F.length(F.bin(rest))
+    ).cast("int")
+
+
+def hll_sketch(
+    df: DataFrame, group_cols: list[str], value: Column, seed: int = 41
+) -> DataFrame:
+    """The sparse HLL register frame: (group…, bucket, m) with one row per
+    NON-EMPTY bucket — ≤ 64 rows per group, the mergeable sketch state.
+    NULL values are skipped (SQL COUNT DISTINCT convention)."""
+    h = portable_hash(value.cast("string"), seed)
+    buck = df.where(value.isNotNull()).select(
+        *group_cols,
+        h.bitwiseAND(HLL_M - 1).alias("bucket"),
+        F.shiftrightunsigned(h, HLL_P).alias("rest"),
+    )
+    return buck.groupBy(*group_cols, "bucket").agg(F.max(hll_rank(F.col("rest"))).alias("m"))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """MAX-merge register frames (same grouping schema): the sketch of the
+    UNION of the inputs, exactly."""
+    if not sketches:
+        raise ValueError("hll_merge: at least one sketch required")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("m",)]
+    return out.groupBy(*keys).agg(F.max("m").alias("m"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimates from a register frame:
+
+    * ``hll_nonempty`` — non-empty buckets (BIGINT, exact)
+    * ``hll_z_scaled`` — Σ 2^(55−M_j) incl. empty buckets at 2^55 (exact)
+    * ``hll_est``      — the corrected estimate, rounded to 4 dp
+    """
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("hll_nonempty"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_MAX_RANK} - m AS INT))")).alias(
+            "__z_part"
+        ),
+    )
+    z = (
+        F.col("__z_part")
+        + (F.lit(HLL_M) - F.col("hll_nonempty")) * F.lit(1 << _MAX_RANK)
+    ).cast("long")
+    v = (F.lit(HLL_M) - F.col("hll_nonempty")).cast("double")  # empty buckets
+    e_raw = F.lit(HLL_NUMERATOR) / F.col("hll_z_scaled").cast("double")
+    est = F.when(
+        (e_raw <= HLL_SMALL_RANGE) & (v > 0), F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+    ).otherwise(e_raw)
+    return (
+        agg.withColumn("hll_z_scaled", z)
+        .withColumn("hll_est", F.round(est, 4))
+        .drop("__z_part")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value: Column, seed: int = 41
+) -> DataFrame:
+    """End-to-end convenience: sketch → estimate per group."""
+    return hll_estimate(hll_sketch(df, group_cols, value, seed), group_cols)
