@@ -4698,3 +4698,71 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B37_ALL_ORACLES_FN()
     out.update(_B38_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 39 (round 5): PMI collocation mining — multiword-expression
+# candidates by pointwise mutual information over adjacent word pairs,
+# integer milli-nat quantization (the phrase-mining signal of word2vec-era
+# preprocessing); log-space association order fixed so no product overflows.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.lm import pmi_collocations
+
+_PMI_MIN_COUNT = 8
+
+
+def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=_PMI_MIN_COUNT)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH w AS (
+    SELECT doc_id, u.w AS w, u.ord AS pos
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         WITH ORDINALITY AS u(w, ord)
+),
+bg AS (
+    SELECT a, b FROM (
+        SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS a, w AS b FROM w
+    ) WHERE a IS NOT NULL
+),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM w GROUP BY 1),
+tot AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n_bg,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_uni
+),
+sc AS (
+    SELECT cab.a, cab.b, c_ab, ca.c_w AS c_a, cb.c_w AS c_b,
+           CAST(round((ln(CAST(c_ab AS DOUBLE)) - ln(CAST(ca.c_w AS DOUBLE))
+                       - ln(CAST(cb.c_w AS DOUBLE)) + 2.0 * ln(CAST(n_uni AS DOUBLE))
+                       - ln(CAST(n_bg AS DOUBLE))) * 1000) AS BIGINT) AS pmi_mnats
+    FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w CROSS JOIN tot
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+)
+SELECT a, b, c_ab, c_a, c_b, pmi_mnats, round(pmi_mnats / 1000.0, 6) AS pmi FROM sc
+"""
+
+_B38_ALL_QUERIES_FN = all_queries
+_B38_ALL_ORACLES_FN = all_oracle_sql
+
+_B39_QUERIES = {
+    "doc_pmi_collocations": q_doc_pmi_collocations,
+}
+_B39_ORACLES = {
+    "doc_pmi_collocations": SQL_PMI_COLLOCATIONS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B38_ALL_QUERIES_FN()
+    out.update(_B39_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B38_ALL_ORACLES_FN()
+    out.update(_B39_ORACLES)
+    return out

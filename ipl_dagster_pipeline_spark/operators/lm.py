@@ -160,3 +160,74 @@ def source_kl_divergence(
         F.col("kl_mnats_weighted").cast("long").alias("kl_mnats_weighted"),
         F.round(F.col("kl_mnats_weighted") / F.lit(1000.0) / F.col("t_g"), 6).alias("kl_nats"),
     )
+
+
+def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per word OCCURRENCE: (id, w) — the unigram companion of
+    :func:`doc_bigrams`, same tokenization."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("w"),
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information:
+
+    ``PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) )`` with bigram MLE ``P(a,b) =
+    c_ab/N_bg`` and unigram MLE ``P(w) = c_w/N_uni`` — high-PMI adjacent
+    pairs are multiword expressions ("new york", "machine learning"), the
+    standard phrase-mining signal.
+
+    Output per surviving pair: ``a, b, c_ab, c_a, c_b, pmi_mnats`` (integer
+    milli-nats, the determinism anchor) and ``pmi`` (= mnats/1000, 6 dp).
+    Computed in log-space as ``ln c_ab − ln c_a − ln c_b + 2·ln N_uni −
+    ln N_bg`` in that fixed association order, so no integer product can
+    overflow at any corpus size; the quantization-then-threshold contract
+    matches :func:`with_bigram_surprisal`.
+
+    Scale shape: counts are map-side-combined aggs over the exploded frames;
+    ``min_count`` prunes the pair table BEFORE the unigram joins (the join
+    input is the collocation candidates, not the long tail); totals are
+    1-row broadcasts.
+    """
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count >= 1 required")
+    bg = doc_bigrams(docs, id_col, text_col)
+    uni = doc_words(docs, id_col, text_col)
+    c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = c_ab.agg(F.coalesce(F.sum("c_ab"), F.lit(0)).alias("n_bg")).crossJoin(
+        c_w.agg(F.coalesce(F.sum("c_w"), F.lit(0)).alias("n_uni"))
+    )
+    cand = c_ab.filter(F.col("c_ab") >= min_count)
+    joined = (
+        cand.join(c_w.withColumnRenamed("w", "a").withColumnRenamed("c_w", "c_a"), on="a")
+        .join(c_w.withColumnRenamed("w", "b").withColumnRenamed("c_w", "c_b"), on="b")
+        .crossJoin(F.broadcast(totals))
+    )
+    mnats = F.round(
+        (
+            F.log(F.col("c_ab").cast("double"))
+            - F.log(F.col("c_a").cast("double"))
+            - F.log(F.col("c_b").cast("double"))
+            + F.lit(2.0) * F.log(F.col("n_uni").cast("double"))
+            - F.log(F.col("n_bg").cast("double"))
+        )
+        * 1000
+    ).cast("long")
+    return joined.select(
+        "a", "b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        mnats.alias("pmi_mnats"),
+        F.round(mnats / 1000.0, 6).alias("pmi"),
+    )

@@ -96,3 +96,32 @@ def test_source_kl_zero_for_identical_distributions(spark):
 
     for r in source_kl_divergence(df).collect():
         assert r.kl_mnats_weighted == 0 and r.kl_nats == 0.0
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from ipl_dagster_pipeline_spark.operators.lm import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "new york is big and new york is old"), (2, "new york new day")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in pmi_collocations(df, min_count=2).collect()}
+    # corpus: 13 unigrams, 11 bigrams; "new york" occurs 3×, new 4×, york 3×
+    r = out[("new", "york")]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (3, 4, 3)
+    expect = math.log(3) - math.log(4) - math.log(3) + 2 * math.log(13) - math.log(11)
+    assert r["pmi_mnats"] == round(expect * 1000)
+    assert r["pmi"] == pytest.approx(r["pmi_mnats"] / 1000, abs=1e-9)
+    # a pair below min_count never appears
+    assert ("york", "new") not in out  # c_ab = 1
+
+
+def test_pmi_threshold_prunes_before_joins_and_empty_total(spark):
+    from ipl_dagster_pipeline_spark.operators.lm import pmi_collocations
+
+    with pytest.raises(ValueError):
+        pmi_collocations(spark.createDataFrame([], "doc_id long, text string"), min_count=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pmi_collocations(empty).count() == 0
+    one_word = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    assert pmi_collocations(one_word).count() == 0
