@@ -4766,3 +4766,84 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B38_ALL_ORACLES_FN()
     out.update(_B39_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 40 (round 5): fixed-point integer PageRank over the event-type
+# transition graph — the iterative-algorithm capability (per-round
+# equi-join + agg, lineage-truncated) with an oracle that UNROLLS the
+# rounds in SQL; floor-division fixed-point means both engines replay the
+# exact same integers.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.graph import pagerank
+
+_PR_ITERS, _PR_SCALE = 3, 1_000_000
+
+
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank of event types in the per-user transition graph (edge =
+    consecutive events under the (ts, event_id) order, deduped)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("__prev", F.lag("event_type").over(w))
+    edges = (
+        seq.filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+def _pr_oracle_sql(iters: int) -> str:
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+c{i} AS (
+    SELECT e.dst AS v, CAST(sum(((r.r * 17) // 20) // e.k) AS BIGINT) AS s
+    FROM e JOIN r{i - 1} r ON e.src = r.v
+    GROUP BY 1
+),
+r{i} AS (
+    SELECT n.v, CAST(base.b + coalesce(c{i}.s, 0) AS BIGINT) AS r
+    FROM nodes n CROSS JOIN base LEFT JOIN c{i} ON n.v = c{i}.v
+)""")
+    return f"""
+WITH seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+e0 AS (SELECT DISTINCT prev AS src, event_type AS dst FROM seq WHERE prev IS NOT NULL),
+nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0)),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+base AS (SELECT ({_PR_SCALE} * 3 // 20) // n AS b, {_PR_SCALE} // n AS r0v FROM cnt),
+k AS (SELECT src, CAST(count(*) AS BIGINT) AS k FROM e0 GROUP BY 1),
+e AS (SELECT e0.src, e0.dst, k.k FROM e0 JOIN k USING (src)),
+r0 AS (SELECT v, r0v AS r FROM nodes CROSS JOIN base),{",".join(its)}
+SELECT v, r AS pr_scaled, round(r / {_PR_SCALE}.0, 6) AS pr FROM r{iters}
+"""
+
+
+SQL_EVENT_PAGERANK = _pr_oracle_sql(_PR_ITERS)
+
+_B39_ALL_QUERIES_FN = all_queries
+_B39_ALL_ORACLES_FN = all_oracle_sql
+
+_B40_QUERIES = {
+    "event_pagerank": q_event_pagerank,
+}
+_B40_ORACLES = {
+    "event_pagerank": SQL_EVENT_PAGERANK,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B39_ALL_QUERIES_FN()
+    out.update(_B40_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B39_ALL_ORACLES_FN()
+    out.update(_B40_ORACLES)
+    return out

@@ -125,3 +125,80 @@ def duplicate_groups(
         F.col("comp").alias("keeper"),
         (F.col("v") == F.col("comp")).alias("is_keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT fixed-point integer arithmetic:
+    (v, pr_scaled, pr) after ``iters`` synchronous rounds.
+
+    Ranks live in integer ``scale``-units; the damping factor is the rational
+    ``damping_num/damping_den`` (default 17/20 = 0.85) and every update is
+
+        r'(v) = (scale·(den−num) div den) div N
+                + Σ_{u→v} (r(u)·num div den) div outdeg(u)
+
+    with floor division throughout — no float ever enters the recurrence, so
+    the result is reduction-order-independent, parallelism-independent, and
+    replayable in plain SQL by unrolling the rounds.  Floor rounding bleeds
+    a few units of mass per round (standard fixed-point PageRank behavior);
+    dangling nodes (no out-edges) drop their mass — the common simplified
+    variant, documented rather than silently redistributed.  Parallel edges
+    contribute once each; pre-``distinct`` the frame for simple-graph
+    semantics.
+
+    Scale shape per round: one equi-join rank×edges (+ broadcastable outdeg),
+    one map-side-combined sum by dst, one left join back to the node set;
+    lineage truncated per round (``localCheckpoint``) as in
+    :func:`connected_components`.  The node COUNT is the only driver scalar.
+    """
+    if iters < 1 or damping_den <= damping_num or damping_num < 0:
+        raise ValueError("pagerank: iters >= 1 and 0 <= damping_num < damping_den required")
+    nodes = (
+        edges.select(F.col(src).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "v", F.lit(0).cast("long").alias("pr_scaled"), F.lit(0.0).alias("pr")
+        )
+    r0 = scale // n
+    base = (scale * (damping_den - damping_num) // damping_den) // n
+    outdeg = edges.groupBy(F.col(src).alias("__u")).agg(F.count(F.lit(1)).alias("__k"))
+    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__d")).join(
+        F.broadcast(outdeg), on="__u"
+    )
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["__u"] == ranks["v"])
+            .select(
+                F.col("__d").alias("v"),
+                F.expr(f"((r * {damping_num}) div {damping_den}) div __k").alias("__c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contribs, on="v", how="left")
+            .select(
+                "v",
+                (F.lit(base) + F.coalesce(F.col("__s"), F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "v",
+        F.col("r").alias("pr_scaled"),
+        F.round(F.col("r") / float(scale), 6).alias("pr"),
+    )

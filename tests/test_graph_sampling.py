@@ -463,3 +463,61 @@ def test_sample_temperature_flattens_mixture(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         sample_temperature(df, "source", "doc_id", alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# pagerank (fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_computed(spark):
+    from ipl_dagster_pipeline_spark.operators.graph import pagerank
+
+    # a -> b -> a : symmetric 2-cycle; ranks stay equal every round
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["v"]: r for r in pagerank(e, iters=4).collect()}
+    # N=2: r0 = 500000; update = 150000//2 + (r*17//20)//1 = 75000 + 425000
+    assert out["a"]["pr_scaled"] == out["b"]["pr_scaled"] == 500000
+    assert out["a"]["pr"] == 0.5
+
+
+def test_pagerank_sink_and_dangling(spark):
+    from ipl_dagster_pipeline_spark.operators.graph import pagerank
+
+    # a -> c, b -> c: c is dangling (drops its mass), a and b get base only
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    out = {r["v"]: r for r in pagerank(e, iters=2).collect()}
+    base = (1_000_000 * 3 // 20) // 3  # 50000
+    assert out["a"]["pr_scaled"] == out["b"]["pr_scaled"] == base
+    # c receives both full damped ranks: base + 2*(base*17//20) after iter 2
+    assert out["c"]["pr_scaled"] == base + 2 * ((base * 17) // 20)
+    # total mass shrinks (dangling loss) but stays positive — documented
+    assert 0 < sum(r["pr_scaled"] for r in out.values()) <= 1_000_000
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    import random
+
+    from ipl_dagster_pipeline_spark.operators.graph import pagerank
+
+    rng = random.Random(5)
+    edges = list({(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(300)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, pagerank(df.repartition(1), iters=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(16), iters=3).collect()))
+    assert a == b
+
+
+def test_pagerank_empty_and_validation(spark):
+    import pytest
+
+    from ipl_dagster_pipeline_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty)
+    assert out.count() == 0 and set(out.columns) == {"v", "pr_scaled", "pr"}
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(e, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping_num=20, damping_den=20)

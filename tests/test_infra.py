@@ -250,7 +250,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 109 and len(all_oracles) == 106
+    assert len(all_qs) == 110 and len(all_oracles) == 107
 
 
 def test_no_per_row_python_udfs():
