@@ -4847,3 +4847,70 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B39_ALL_ORACLES_FN()
     out.update(_B40_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 41 (round 5): key-distribution skew profiler — the exact diagnostic
+# behind the salting/AQE decisions (north rule: skew handled EXPLICITLY);
+# global sort rides the key frame, the cumulative window sees <= top_n rows.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.partitioning import skew_profile
+
+_SKEW_TOP_N = 50
+
+
+def q_event_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 heaviest user_id keys in events with exact ppm concentration;
+    a NULL-key stratum injected (null keys are OFTEN the skew problem, and
+    the NULLS FIRST tie-break is the cross-engine trap this gates)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return skew_profile(ev, "user_id", top_n=_SKEW_TOP_N)
+
+
+SQL_SKEW_PROFILE = f"""
+WITH e AS (
+    SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS k FROM events
+),
+c AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+t AS (
+    SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM c
+),
+top AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k ASC NULLS FIRST LIMIT {_SKEW_TOP_N})
+SELECT k AS user_id, cnt,
+       (cnt * 1000000) // total AS share_ppm,
+       CAST(row_number() OVER win AS INTEGER) AS rnk,
+       (sum(cnt) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+           // total AS cum_ppm,
+       round(CAST(cnt AS DOUBLE) * n_keys / total, 4) AS hot_ratio
+FROM top CROSS JOIN t
+WINDOW win AS (ORDER BY cnt DESC, k ASC NULLS FIRST)
+"""
+
+_B40_ALL_QUERIES_FN = all_queries
+_B40_ALL_ORACLES_FN = all_oracle_sql
+
+_B41_QUERIES = {
+    "event_skew_profile": q_event_skew_profile,
+}
+_B41_ORACLES = {
+    "event_skew_profile": SQL_SKEW_PROFILE,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B40_ALL_QUERIES_FN()
+    out.update(_B41_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B40_ALL_ORACLES_FN()
+    out.update(_B41_ORACLES)
+    return out

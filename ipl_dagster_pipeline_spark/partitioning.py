@@ -112,3 +112,54 @@ def repartition_sorted(
     parts = [F.col(key)]
     rp = df.repartitionByRange(n_partitions, *parts) if n_partitions else df.repartitionByRange(*parts)
     return rp.sortWithinPartitions(key, *order)
+
+
+def skew_profile(df: DataFrame, key: str, top_n: int = 100) -> DataFrame:
+    """The key-distribution diagnostic behind every salting/AQE decision:
+    the top-``top_n`` heaviest keys with exact concentration numbers.
+
+    Per key (descending count, key-value tie-break — fully deterministic):
+
+    * ``cnt``        — row count (exact)
+    * ``share_ppm``  — floor(cnt·1e6 / total_rows), exact integer ppm
+    * ``rnk``        — 1-based heaviness rank
+    * ``cum_ppm``    — floor(cumulative cnt·1e6 / total), "top-k keys own
+      X% of the data" read directly off the row
+    * ``hot_ratio``  — cnt / mean-per-key (= cnt·n_keys/total), 4 dp; the
+      same multiplier ``detect_hot_keys`` thresholds on, here exact
+
+    Scale shape: one map-side-combined count by key; the global sort is over
+    the KEY frame (cardinality of the key, not the data) and is cut to
+    ``top_n`` before the single-partition cumulative window touches it — the
+    window sees ≤ top_n rows by construction.  NULL keys profile as a real
+    key (they are often exactly the skew problem).
+    """
+    if top_n < 1:
+        raise ValueError("skew_profile: top_n >= 1 required")
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("k").asc_nulls_first())
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("k").asc_nulls_first())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return top.select(
+        F.col("k").alias(key),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(cnt * 1000000) div __total").alias("share_ppm"),
+        F.row_number().over(w).alias("rnk"),
+        F.expr(
+            "(sum(cnt) OVER (ORDER BY cnt DESC, k ASC NULLS FIRST "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) div __total"
+        ).alias("cum_ppm"),
+        F.round(F.col("cnt").cast("double") * F.col("__n_keys") / F.col("__total"), 4).alias(
+            "hot_ratio"
+        ),
+    )

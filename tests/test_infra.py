@@ -250,7 +250,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 110 and len(all_oracles) == 107
+    assert len(all_qs) == 111 and len(all_oracles) == 108
 
 
 def test_no_per_row_python_udfs():
@@ -287,3 +287,22 @@ def test_snapshot_diff_cdc(spark, tmp_path):
     tbl.commit(spark.createDataFrame([(1, "x", 1), (1, "y", 2)], "k long, name string, v long"))
     with pytest.raises(ValueError, match="duplicate keys"):
         snapshot_diff(spark, tbl, s2, tbl.current_snapshot_id(), ["k"]).collect()
+
+
+def test_skew_profile_exact_numbers(spark):
+    from ipl_dagster_pipeline_spark.partitioning import skew_profile
+
+    df = spark.createDataFrame([("a",)] * 6 + [("b",)] * 3 + [(None,)], "k string")
+    rows = skew_profile(df, "k", top_n=2).collect()
+    assert [(r["k"], r["cnt"], r["share_ppm"], r["rnk"], r["cum_ppm"]) for r in rows] == [
+        ("a", 6, 600000, 1, 600000),
+        ("b", 3, 300000, 2, 900000),
+    ]
+    assert rows[0]["hot_ratio"] == 1.8  # 6 / (10/3 keys)
+    # top_n cuts AFTER ranking; null key profiles as a real key when included
+    all_rows = skew_profile(df, "k", top_n=10).collect()
+    assert all_rows[-1]["k"] is None and all_rows[-1]["cum_ppm"] == 1000000
+    import pytest
+
+    with pytest.raises(ValueError):
+        skew_profile(df, "k", top_n=0)
