@@ -4914,3 +4914,72 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B40_ALL_ORACLES_FN()
     out.update(_B41_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 42 (round 5): rolling interpolated quantiles (median/p25/p75 of the
+# last k values per key) — Spark refuses percentile-over-frame, so the
+# operator materializes the bounded frame with collect_list; the oracle
+# replicates the SAME interpolation formula from a sorted list rather than
+# trusting DuckDB's median() internals.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.windows import with_rolling_quantiles
+
+_RQ_K = 7
+_RQ_PROBS = {"roll_med": 0.5, "roll_p25": 0.25, "roll_p75": 0.75}
+
+
+def q_event_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = with_rolling_quantiles(
+        ev, "value", _RQ_K, _RQ_PROBS, key="user_id", order=("ts", "event_id")
+    )
+    return out.select("event_id", "user_id", *_RQ_PROBS)
+
+
+def _rq_sql_expr(p: float, alias: str) -> str:
+    pos = f"(CAST(len(a) - 1 AS DOUBLE) * {p!r})"
+    lo = f"CAST(floor({pos}) AS INTEGER)"
+    frac = f"({pos} - {lo})"
+    return (
+        f"round(CASE WHEN len(a) = 0 THEN NULL "
+        f"WHEN {frac} = 0.0 THEN a[{lo} + 1] "
+        f"ELSE a[{lo} + 1] + (a[{lo} + 2] - a[{lo} + 1]) * {frac} END, 6) AS {alias}"
+    )
+
+
+SQL_ROLLING_QUANTILES = f"""
+WITH fr AS (
+    SELECT event_id, user_id,
+           list_sort(list_filter(
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {_RQ_K - 1} PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL)) AS a
+    FROM events
+)
+SELECT event_id, user_id,
+       {", ".join(_rq_sql_expr(p, name) for name, p in _RQ_PROBS.items())}
+FROM fr
+"""
+
+_B41_ALL_QUERIES_FN = all_queries
+_B41_ALL_ORACLES_FN = all_oracle_sql
+
+_B42_QUERIES = {
+    "event_rolling_quantiles": q_event_rolling_quantiles,
+}
+_B42_ORACLES = {
+    "event_rolling_quantiles": SQL_ROLLING_QUANTILES,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B41_ALL_QUERIES_FN()
+    out.update(_B42_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B41_ALL_ORACLES_FN()
+    out.update(_B42_ORACLES)
+    return out

@@ -176,3 +176,54 @@ def top_k_per_group(df: DataFrame, keys: list[str], order: list[Column], k: int)
     """Top-k per group via ranking window (SURVEY §2.7 note)."""
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def with_rolling_quantiles(
+    df: DataFrame,
+    value: Column | str,
+    k: int,
+    probs: dict[str, float],
+    key: str = KEY,
+    order: tuple[str, ...] = ORDER,
+) -> DataFrame:
+    """Rolling interpolated quantiles over the last ``k`` rows including
+    current (W4 extension: rolling median / p25 / p75 features).
+
+    Spark refuses percentile aggregates over framed windows
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is materialized
+    with ONE ``collect_list`` window (bounded: ≤ k elements, k is a small
+    literal), sorted, and each quantile is read off by linear interpolation
+
+        pos = (n−1)·p;  lo = floor(pos);  frac = pos − lo
+        q   = a[lo]               if frac = 0
+            = a[lo] + (a[lo+1] − a[lo])·frac   otherwise
+
+    in EXACTLY that arithmetic order — an oracle must replicate this formula
+    (not its engine's own ``median``/``quantile_cont``, whose internal
+    rounding may differ in the last ulp).  NULL values are skipped (n counts
+    non-null frame members, the SQL aggregate convention); n = 0 ⇒ NULL.
+
+    One shuffle + one sort shared with the rest of the ``turn_window``
+    chain; all expressions JVM-side; cost O(k log k) per row.
+    """
+    if k < 1:
+        raise ValueError("with_rolling_quantiles: k >= 1 required")
+    for p in probs.values():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"with_rolling_quantiles: prob {p} outside [0, 1]")
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-(k - 1), Window.currentRow)
+    val = F.col(value) if isinstance(value, str) else value
+    arr = F.sort_array(F.collect_list(val).over(w))
+    out = df.withColumn("__rq_arr", arr)
+    n = F.size(F.col("__rq_arr"))
+    for name, p in probs.items():
+        pos = (n - 1).cast("double") * F.lit(float(p))
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo
+        a_lo = F.get(F.col("__rq_arr"), lo)
+        a_hi = F.get(F.col("__rq_arr"), lo + 1)
+        q = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+            F.when(frac == 0.0, a_lo).otherwise(a_lo + (a_hi - a_lo) * frac)
+        )
+        out = out.withColumn(name, F.round(q, 6))
+    return out.drop("__rq_arr")

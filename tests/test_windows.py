@@ -95,3 +95,63 @@ def test_rank_dedup_direction_guard_is_anchored(spark):
     for bad in (F.col("ts").desc(), F.col("ts").asc(), F.col("ts").desc_nulls_last()):
         with pytest.raises(ValueError, match="direction-less"):
             rank_dedup(df, ["conv_id"], [bad], keep="last")
+
+
+def test_rolling_quantiles_hand_computed(spark):
+    import datetime as dt
+
+    from ipl_dagster_pipeline_spark.operators.windows import with_rolling_quantiles
+
+    vals = [5.0, 1.0, 4.0, None, 3.0]
+    df = spark.createDataFrame(
+        [("c", i, dt.datetime(2024, 1, 1, 0, 0, i), v) for i, v in enumerate(vals)],
+        "conv_id string, turn_idx int, ts timestamp, v double",
+    )
+    out = {
+        r["turn_idx"]: r
+        for r in with_rolling_quantiles(df, "v", 3, {"med": 0.5, "p25": 0.25}).collect()
+    }
+    assert out[0]["med"] == 5.0  # frame {5}
+    assert out[1]["med"] == 3.0 and out[1]["p25"] == 2.0  # {1,5}
+    assert out[2]["med"] == 4.0 and out[2]["p25"] == 2.5  # {1,4,5}
+    assert out[3]["med"] == 2.5 and out[3]["p25"] == 1.75  # {1,4} (null skipped)
+    assert out[4]["med"] == 3.5  # {3,4}
+
+
+def test_rolling_quantiles_validation_and_all_null(spark):
+    import datetime as dt
+
+    import pytest
+
+    from ipl_dagster_pipeline_spark.operators.windows import with_rolling_quantiles
+
+    df = spark.createDataFrame(
+        [("c", 0, dt.datetime(2024, 1, 1), None)],
+        "conv_id string, turn_idx int, ts timestamp, v double",
+    )
+    assert with_rolling_quantiles(df, "v", 3, {"med": 0.5}).collect()[0]["med"] is None
+    with pytest.raises(ValueError):
+        with_rolling_quantiles(df, "v", 0, {"med": 0.5})
+    with pytest.raises(ValueError):
+        with_rolling_quantiles(df, "v", 3, {"bad": 1.5})
+
+
+def test_rolling_quantiles_share_one_window_sort(spark):
+    """All quantile columns read ONE collect_list window — a single Window
+    node and a single sort in the physical plan."""
+    import datetime as dt
+
+    from ipl_dagster_pipeline_spark.operators.windows import with_rolling_quantiles
+
+    df = spark.createDataFrame(
+        [("c", 0, dt.datetime(2024, 1, 1), 1.0)],
+        "conv_id string, turn_idx int, ts timestamp, v double",
+    )
+    plan = (
+        with_rolling_quantiles(df, "v", 5, {"a": 0.25, "b": 0.5, "c": 0.75})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("Sort") == 1
