@@ -71,6 +71,16 @@ EXTENDED = [
     "doc_lm_surprisal",
     "doc_containment_pairs",
     "source_unigram_kl",
+    # round-5 feature/analytics additions: PIT target encoding, decayed
+    # activity, HLL sketch, PMI phrases, fixed-point PageRank, skew profile,
+    # rolling quantiles
+    "event_target_encode",
+    "event_decayed_features",
+    "event_hll_users",
+    "doc_pmi_collocations",
+    "event_pagerank",
+    "event_skew_profile",
+    "event_rolling_quantiles",
 ]
 
 
