@@ -4983,3 +4983,115 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B41_ALL_ORACLES_FN()
     out.update(_B42_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 43 (round 5): count-min frequency sketch — HLL's sibling for counts
+# (sketches.py cms_*).  The Spark side builds TWO sketches over disjoint
+# halves and SUM-merges them; the oracle builds one counter frame over the
+# full input directly — equality of every probe IS the CMS merge law
+# (counters are linear), replayed register-exactly in SQL.  Estimates are
+# probed for the top-k exact keys and must satisfy est ≥ true (over-count
+# only) — `over_cnt` makes the collision load visible per key.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sketches import (
+    CMS_D,
+    CMS_ROW_OFFSET,
+    CMS_W,
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+)
+from ipl_dagster_pipeline_spark.operators.text_dedup import minhash_params as _mh_params
+
+_CMS_SEED = 53
+_CMS_TOP = 24
+
+
+def q_event_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS over event user_id occurrences: sketch two disjoint halves,
+    SUM-merge, probe the top-24 exact keys.  Scale shape: each half's
+    counter frame is ≤ d·w = 1024 rows (map-side combined), the merge is a
+    1024-row groupBy, and the probe broadcasts the sketch — the raw events
+    are scanned once per half and never shuffled by key."""
+    ev = _read(spark, sf_dir, "events")
+    half_a = cms_sketch(ev.where(F.col("event_id") % 2 == 0), [], F.col("user_id"), seed=_CMS_SEED)
+    half_b = cms_sketch(ev.where(F.col("event_id") % 2 == 1), [], F.col("user_id"), seed=_CMS_SEED)
+    sk = cms_merge(half_a, half_b)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("user_id")).limit(_CMS_TOP)
+    est = cms_estimate(sk, top, "user_id", seed=_CMS_SEED)
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("over_cnt"),
+    ).orderBy("user_id")
+
+
+def _cms_base_sql(expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{_CMS_SEED}:', {expr})), 1, 15)) AS BIGINT)"
+        f" % {MINHASH_P}"
+    )
+
+
+def _cms_row_sql(base: str, row: int) -> str:
+    a, b = _mh_params(CMS_ROW_OFFSET + row)
+    return f"(({base} * {a} + {b}) % {MINHASH_P}) % {CMS_W}"
+
+
+SQL_CMS_USER_COUNTS = f"""
+WITH base AS (
+    SELECT {_cms_base_sql('CAST(user_id AS VARCHAR)')} AS b
+    FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+    {" UNION ALL ".join(f"SELECT {i} AS r, {_cms_row_sql('b', i)} AS c FROM base" for i in range(CMS_D))}
+),
+counters AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt,
+           {_cms_base_sql('CAST(user_id AS VARCHAR)')} AS kb
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ORDER BY exact_cnt DESC, user_id LIMIT {_CMS_TOP}
+),
+probe AS (
+    {" UNION ALL ".join(f"SELECT user_id, exact_cnt, {i} AS r, {_cms_row_sql('kb', i)} AS c FROM exact" for i in range(CMS_D))}
+),
+est AS (
+    SELECT p.user_id, p.exact_cnt,
+           CAST(min(coalesce(t.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probe p LEFT JOIN counters t ON p.r = t.r AND p.c = t.c
+    GROUP BY 1, 2
+)
+SELECT user_id, exact_cnt, cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS over_cnt
+FROM est ORDER BY user_id
+"""
+
+_B42_ALL_QUERIES_FN = all_queries
+_B42_ALL_ORACLES_FN = all_oracle_sql
+
+_B43_QUERIES = {
+    "event_cms_user_counts": q_event_cms_user_counts,
+}
+_B43_ORACLES = {
+    "event_cms_user_counts": SQL_CMS_USER_COUNTS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B42_ALL_QUERIES_FN()
+    out.update(_B43_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B42_ALL_ORACLES_FN()
+    out.update(_B43_ORACLES)
+    return out

@@ -81,6 +81,7 @@ EXTENDED = [
     "event_pagerank",
     "event_skew_profile",
     "event_rolling_quantiles",
+    "event_cms_user_counts",
 ]
 
 

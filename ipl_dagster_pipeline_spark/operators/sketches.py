@@ -118,3 +118,107 @@ def hll_distinct(
 ) -> DataFrame:
     """End-to-end convenience: sketch → estimate per group."""
     return hll_estimate(hll_sketch(df, group_cols, value, seed), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY sketch (HLL's sibling for counts).
+#
+# Same portability contract as HLL above: rows are the affine universal-hash
+# family over one 60-bit md5 base (text_dedup.minhash_params, offset +100 so
+# the CMS rows are decorrelated from the MinHash rows), so every counter is
+# an exact BIGINT reproducible in plain SQL — the oracle replays the full
+# register frame and the estimates are hash-identical cross-engine.
+#
+# Scale story (the reason to sketch at all): the counter frame has AT MOST
+# d·w rows per group regardless of input size (d=4, w=256 ⇒ ≤1024), counters
+# partial-aggregate map-side, and sketches of disjoint inputs merge by
+# elementwise SUM — so a 100 TB frequency profile shuffles ≤1024 tiny rows
+# per group and daily sketches fold into monthly ones without re-reading the
+# raw data.  Estimates only ever OVER-count (est ≥ true, the CMS guarantee);
+# with d=4 rows the over-count per probe is bounded by the three smallest
+# collision loads.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.text_dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_params,
+)
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+CMS_ROW_OFFSET = 100  # minhash_params index offset for the CMS hash family
+
+
+def cms_col(base: Column, row: int) -> Column:
+    """Counter column for hash row `row`: ((base·A+B) mod P) mod w."""
+    a, b = minhash_params(CMS_ROW_OFFSET + row)
+    return ((base * a + b) % MINHASH_P) % CMS_W
+
+
+def _cms_base(value: Column, seed: int) -> Column:
+    return portable_hash(value.cast("string"), seed) % MINHASH_P
+
+
+def _cms_cells(df: DataFrame, group_cols: list[str], value: Column, seed: int) -> DataFrame:
+    """One (group…, key-ish, r, c) row per input row per hash row."""
+    based = df.where(value.isNotNull()).select(
+        *group_cols, _cms_base(value, seed).alias("__base")
+    )
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), cms_col(F.col("__base"), i).alias("c"))
+            for i in range(CMS_D)
+        ]
+    )
+    return based.select(*group_cols, F.explode(cells).alias("__cell")).select(
+        *group_cols, F.col("__cell.r").alias("r"), F.col("__cell.c").alias("c")
+    )
+
+
+def cms_sketch(
+    df: DataFrame, group_cols: list[str], value: Column, seed: int = 53
+) -> DataFrame:
+    """The sparse CMS counter frame (group…, r, c, cnt): one row per
+    NON-ZERO counter — ≤ d·w rows per group, the mergeable sketch state.
+    NULL values are skipped (they are not a key occurrence)."""
+    return _cms_cells(df, group_cols, value, seed).groupBy(*group_cols, "r", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """SUM-merge counter frames (same grouping schema): exactly the sketch
+    of the UNION of the inputs — counters are linear."""
+    if not sketches:
+        raise ValueError("cms_merge: at least one sketch required")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, seed: int = 53
+) -> DataFrame:
+    """Point-frequency estimates for a (small) candidate-key frame:
+    est(key) = min over rows of counter[r, h_r(key)] — the classic CMS probe,
+    ≥ the true count always, exact when no colliding key shares all d cells.
+
+    `keys` carries one row per candidate (other columns pass through); the
+    probe is a d-row explode + equi-join against the counter frame — never a
+    scan of the raw data.  Keys absent from the sketch estimate 0."""
+    probe = keys.withColumn("__base", _cms_base(F.col(key_col), seed))
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), cms_col(F.col("__base"), i).alias("c"))
+            for i in range(CMS_D)
+        ]
+    )
+    exploded = probe.select(
+        *[c for c in keys.columns], F.explode(cells).alias("__cell")
+    ).select(*keys.columns, F.col("__cell.r").alias("r"), F.col("__cell.c").alias("c"))
+    joined = exploded.join(F.broadcast(sketch), on=["r", "c"], how="left")
+    return joined.groupBy(*keys.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+    )

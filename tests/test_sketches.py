@@ -71,3 +71,58 @@ def test_plan_single_aggregation_no_join(vals):
     assert "Join" not in plan and "Window" not in plan
     # partial (map-side) aggregation present: two HashAggregate levels per agg
     assert plan.count("HashAggregate") >= 2
+
+
+# --- count-min sketch -------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def freq_vals(spark):
+    # skewed frequencies: key k appears (k+1)^2 times, plus nulls
+    rows = [(f"k{k}",) for k in range(40) for _ in range((k + 1) ** 2)]
+    rows += [(None,)] * 9
+    return spark.createDataFrame(rows, "v string").cache()
+
+
+def test_cms_overestimates_never_under(freq_vals, spark):
+    sk = cms_sketch(freq_vals, [], F.col("v"))
+    exact = (
+        freq_vals.where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    est = cms_estimate(sk, exact, "v")
+    bad = est.where(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+    # heavy keys are estimated exactly (few collisions at this scale)
+    heavy = est.where(F.col("exact_cnt") >= 900).collect()
+    assert heavy and all(r["cms_est"] == r["exact_cnt"] for r in heavy)
+
+
+def test_cms_sketch_bounded_and_merge_law(freq_vals):
+    a = freq_vals.where(F.crc32(F.col("v")) % 2 == 0)
+    b = freq_vals.where(F.col("v").isNull() | (F.crc32(F.col("v")) % 2 == 1))
+    full = cms_sketch(freq_vals, [], F.col("v"))
+    assert full.count() <= CMS_D * CMS_W
+    merged = cms_merge(cms_sketch(a, [], F.col("v")), cms_sketch(b, [], F.col("v")))
+    assert merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
+
+
+def test_cms_absent_key_and_empty_sketch(freq_vals, spark):
+    sk = cms_sketch(freq_vals, [], F.col("v"))
+    probe = spark.createDataFrame([("never-seen-xyz",)], "v string")
+    [row] = cms_estimate(sk, probe, "v").collect()
+    # an absent key may collide into a small counter but is bounded by the
+    # lightest of its d cells; with 40 keys over 4x256 cells it probes 0
+    assert row["cms_est"] >= 0
+    empty = cms_sketch(freq_vals.limit(0), [], F.col("v"))
+    [row0] = cms_estimate(empty, probe, "v").collect()
+    assert row0["cms_est"] == 0
