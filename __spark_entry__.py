@@ -5095,3 +5095,127 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B42_ALL_ORACLES_FN()
     out.update(_B43_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 44 (round 5): leakage-safe feature-vector assembly (featurize.py) —
+# the scaler is FIT on the train fold only (frozen exact-integer milli
+# stats), TRANSFORMED over every fold, composed with explicit-domain one-hot
+# and the hashing trick.  A NULL stratum is injected into `value` so the
+# gate covers NULL propagation through fit (skipped) and transform
+# (NULL out).  The z-score is a fixed IEEE op sequence over exact BIGINTs —
+# replayed verbatim in the oracle.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.featurize import (
+    hash_bucket_onehot,
+    one_hot,
+    standardize_fit,
+    standardize_transform,
+)
+
+_FV_DOMAIN = ["click", "error", "purchase", "signup", "view"]
+_FV_NUM = ["value", "plen", "hour"]
+_FV_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_FV_HB = 8
+_FV_HB_SEED = 11
+
+
+def q_event_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width trainer-ready feature columns from events: z-scores under
+    train-fold-frozen stats, declared-domain one-hot of event_type, 8-bucket
+    hashed user indicator.  Scale shape: one tiny global agg (fit) broadcast
+    into pure projections — zero key shuffles."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.length("props").cast("double").alias("plen"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("hour"),
+    )
+    ev = hash_split(ev, "event_id", fractions=_FV_FRACS, out_col="fold")
+    stats = standardize_fit(ev.where(F.col("fold") == "train"), _FV_NUM)
+    out = standardize_transform(ev, stats, _FV_NUM)
+    out = one_hot(out, "event_type", _FV_DOMAIN, prefix="oh")
+    out = hash_bucket_onehot(out, "user_id", _FV_HB, seed=_FV_HB_SEED)
+    return out.select(
+        "event_id",
+        "fold",
+        *[f"z_{c}" for c in _FV_NUM],
+        *[f"oh_{v}" for v in _FV_DOMAIN],
+        "oh_other",
+        *[f"hb_{i}" for i in range(_FV_HB)],
+    )
+
+
+def _fv_z_sql(c: str) -> str:
+    vm = f"CAST(round({c} * 1000) AS BIGINT)"
+    n = f"CAST(greatest(n_{c}, 1) AS DOUBLE)"
+    mean = f"(CAST(s_{c} AS DOUBLE) / {n})"
+    var = f"(CAST(q_{c} AS DOUBLE) / {n} - {mean} * {mean})"
+    return (
+        f"CASE WHEN n_{c} = 0 OR {var} <= 0 THEN 0.0 "
+        f"ELSE round((CAST({vm} AS DOUBLE) - {mean}) / sqrt({var}), 6) END AS z_{c}"
+    )
+
+
+SQL_FEATURE_VECTORS = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+           CAST(length(props) AS DOUBLE) AS plen,
+           CAST(hour(ts) AS DOUBLE) AS hour,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val'
+                   ELSE 'test' END AS fold
+    FROM ev
+),
+st AS (
+    SELECT
+        {", ".join(
+            f"count(CAST(round({c} * 1000) AS BIGINT)) AS n_{c}, "
+            f"CAST(coalesce(sum(CAST(round({c} * 1000) AS BIGINT)), 0) AS BIGINT) AS s_{c}, "
+            f"CAST(coalesce(sum(CAST(round({c} * 1000) AS BIGINT) * CAST(round({c} * 1000) AS BIGINT)), 0) AS BIGINT) AS q_{c}"
+            for c in _FV_NUM
+        )}
+    FROM f WHERE fold = 'train'
+)
+SELECT event_id, fold,
+       {", ".join(_fv_z_sql(c) for c in _FV_NUM)},
+       {", ".join(f"CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END AS oh_{v}" for v in _FV_DOMAIN)},
+       CASE WHEN event_type IN ({", ".join(repr(v) for v in _FV_DOMAIN)}) THEN 0 ELSE 1 END AS oh_other,
+       {", ".join(
+           f"CASE WHEN CAST(concat('0x', substring(md5(concat('{_FV_HB_SEED}:', coalesce(CAST(user_id AS VARCHAR), '<null>'))), 1, 15)) AS BIGINT) % {_FV_HB} = {i} THEN 1 ELSE 0 END AS hb_{i}"
+           for i in range(_FV_HB)
+       )}
+FROM f CROSS JOIN st
+"""
+
+_B43_ALL_QUERIES_FN = all_queries
+_B43_ALL_ORACLES_FN = all_oracle_sql
+
+_B44_QUERIES = {
+    "event_feature_vectors": q_event_feature_vectors,
+}
+_B44_ORACLES = {
+    "event_feature_vectors": SQL_FEATURE_VECTORS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B43_ALL_QUERIES_FN()
+    out.update(_B44_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B43_ALL_ORACLES_FN()
+    out.update(_B44_ORACLES)
+    return out

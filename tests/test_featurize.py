@@ -1,0 +1,69 @@
+"""Feature-vector assembly (operators/featurize.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipl_dagster_pipeline_spark.operators.featurize import (
+    hash_bucket_onehot,
+    one_hot,
+    standardize_fit,
+    standardize_transform,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, "train", 10.0, "click"),
+        (2, "train", 20.0, "view"),
+        (3, "train", 30.0, None),
+        (4, "val", 1000.0, "weird"),
+        (5, "test", None, "click"),
+    ]
+    return spark.createDataFrame(rows, "id long, fold string, x double, cat string").cache()
+
+
+def test_fit_is_train_only_and_transform_is_frozen(frame):
+    stats = standardize_fit(frame.where(F.col("fold") == "train"), ["x"])
+    [s] = stats.collect()
+    # exact integers over milli units: n=3, sum=60000, sumsq(10^2+20^2+30^2 milli)
+    assert (s["n_x"], s["s_x"]) == (3, 60_000)
+    assert s["q_x"] == 10_000**2 + 20_000**2 + 30_000**2
+    out = {r["id"]: r["z_x"] for r in standardize_transform(frame, stats, ["x"]).collect()}
+    # train mean 20, pop std ≈ 8.1650 ⇒ z(10) ≈ -1.2247; val's huge outlier
+    # did NOT contaminate the fit (leakage-safe): z(1000) ≈ 120
+    assert out[1] == pytest.approx(-1.224745, abs=1e-6)
+    assert out[4] > 100
+    assert out[5] is None  # NULL in → NULL out
+
+
+def test_degenerate_fits_yield_zero(spark, frame):
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, x double")
+    stats = standardize_fit(const, ["x"])
+    vals = {r["id"]: r["z_x"] for r in standardize_transform(const, stats, ["x"]).collect()}
+    assert vals == {1: 0.0, 2: 0.0}  # zero variance
+    empty_stats = standardize_fit(const.limit(0), ["x"])
+    vals = {r["id"]: r["z_x"] for r in standardize_transform(const, empty_stats, ["x"]).collect()}
+    assert vals == {1: 0.0, 2: 0.0}  # empty fit
+
+
+def test_one_hot_declared_domain(frame):
+    out = one_hot(frame, "cat", ["click", "view"], prefix="oh")
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[1]["oh_click"], rows[1]["oh_view"], rows[1]["oh_other"]) == (1, 0, 0)
+    assert rows[4]["oh_other"] == 1  # unseen value
+    assert rows[3]["oh_other"] == 1  # NULL counts as other
+    # schema is a pure function of the domain, not the data
+    assert [c for c in out.columns if c.startswith("oh_")] == ["oh_click", "oh_view", "oh_other"]
+
+
+def test_hash_bucket_onehot_partition_of_unity(frame):
+    out = hash_bucket_onehot(frame, "cat", 4, seed=11)
+    hb = [f"hb_{i}" for i in range(4)]
+    rows = out.select(*[F.col(c) for c in hb]).collect()
+    assert all(sum(r) == 1 for r in rows)  # exactly one bucket per row
+    # NULL key is deterministic, not dropped
+    null_rows = out.where(F.col("cat").isNull()).select(*hb).collect()
+    assert len(null_rows) == 1 and sum(null_rows[0]) == 1
