@@ -5219,3 +5219,319 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B43_ALL_ORACLES_FN()
     out.update(_B44_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 45 (round 5): frozen-edge quantile binning (exact type-1 rank
+# elements fit on the train fold only), hashed feature crosses, and
+# fixed-size overlapping token-window chunking (documents → training
+# windows).  All three are pure integer/string determinism — the oracles
+# replay rank selection, the md5 bucket, and the slicing arithmetic
+# verbatim.  NULL strata are injected (value, text) so the gate covers the
+# exclusion rules (NULL value: out of fit, NULL bin; NULL text: no chunks).
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.chunking import chunk_token_windows
+from ipl_dagster_pipeline_spark.operators.featurize import (
+    hash_cross,
+    quantile_bins_fit,
+    quantile_bins_transform,
+)
+
+_QB_BINS = 8
+_XC_BUCKETS = 16
+_XC_SEED = 13
+_CHUNK, _CHUNK_OVERLAP = 32, 8
+
+
+def q_event_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe discretization: 8-bin edges frozen on the train fold's
+    non-null values (exact lower-rank quantile elements via the keyed
+    distributed prefix-sum ranking), applied to every fold.  Scale shape:
+    one ranked pass over the train fold collapsing to a single edges row,
+    then a broadcast pure projection."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    ev = hash_split(ev, "event_id", fractions=_FV_FRACS, out_col="fold")
+    edges = quantile_bins_fit(
+        ev.where(F.col("fold") == "train"), "value", "event_id", _QB_BINS
+    )
+    out = quantile_bins_transform(ev, edges, "value", _QB_BINS)
+    return out.select("event_id", "fold", "qb_value")
+
+
+SQL_QUANTILE_BINS = f"""
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val'
+                   ELSE 'test' END AS fold
+    FROM ev
+),
+tr AS (
+    SELECT value, row_number() OVER (ORDER BY value ASC, event_id ASC) AS r
+    FROM f WHERE fold = 'train' AND value IS NOT NULL
+),
+n AS (SELECT count(*) AS c FROM tr),
+edges AS (
+    SELECT {", ".join(
+        f"max(CASE WHEN r = ((c - 1) * {i}) // {_QB_BINS} + 1 THEN value END) AS e_{i}"
+        for i in range(1, _QB_BINS)
+    )}
+    FROM tr CROSS JOIN n
+)
+SELECT event_id, fold,
+       CASE WHEN value IS NULL THEN NULL ELSE CAST(
+           {" + ".join(
+               f"(CASE WHEN e_{i} IS NOT NULL AND value > e_{i} THEN 1 ELSE 0 END)"
+               for i in range(1, _QB_BINS)
+           )} AS INTEGER) END AS qb_value
+FROM f CROSS JOIN edges
+"""
+
+
+def q_event_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed interaction feature: event_type × hour-of-day folded into 16
+    buckets by the portable 60-bit hash of the '<name>=<value>' rendering —
+    fixed width at any joint cardinality, NULL a first-class category.
+    Pure projection: zero shuffles at any scale."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour"),
+    )
+    return hash_cross(ev, ["event_type", "hour"], _XC_BUCKETS, seed=_XC_SEED)
+
+
+SQL_HASH_CROSS = f"""
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS event_type,
+           CAST(hour(ts) AS INTEGER) AS hour
+    FROM events
+)
+SELECT event_id, event_type, hour,
+       CAST(concat('0x', substring(md5(concat('{_XC_SEED}:',
+                concat('event_type=', coalesce(event_type, '<null>')),
+                chr(31),
+                concat('hour=', coalesce(CAST(hour AS VARCHAR), '<null>')))), 1, 15)) AS BIGINT)
+           % {_XC_BUCKETS} AS cross_bucket
+FROM ev
+"""
+
+
+def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → fixed-size overlapping training windows (32 tokens,
+    stride 24): integer start arithmetic + end-clipped slice, NULL text
+    yields no windows.  One posexplode, zero shuffles."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return chunk_token_windows(
+        docs, text_col="text", chunk_size=_CHUNK, overlap=_CHUNK_OVERLAP
+    )
+
+
+SQL_TOKEN_CHUNKS = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents
+    WHERE doc_id % 13 <> 0 AND text IS NOT NULL
+),
+s AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(generate_series(1, len(toks), {_CHUNK - _CHUNK_OVERLAP})) AS start_tok
+    FROM d
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // {_CHUNK - _CHUNK_OVERLAP} AS INTEGER) AS chunk_idx,
+       start_tok,
+       CAST(least({_CHUNK}, n - start_tok + 1) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[start_tok : start_tok + {_CHUNK} - 1], ' ') AS chunk_text
+FROM s
+"""
+
+_B44_ALL_QUERIES_FN = all_queries
+_B44_ALL_ORACLES_FN = all_oracle_sql
+
+_B45_QUERIES = {
+    "event_quantile_bins": q_event_quantile_bins,
+    "event_hash_cross": q_event_hash_cross,
+    "doc_token_chunks": q_doc_token_chunks,
+}
+_B45_ORACLES = {
+    "event_quantile_bins": SQL_QUANTILE_BINS,
+    "event_hash_cross": SQL_HASH_CROSS,
+    "doc_token_chunks": SQL_TOKEN_CHUNKS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B44_ALL_QUERIES_FN()
+    out.update(_B45_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B44_ALL_ORACLES_FN()
+    out.update(_B45_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 46 (round 5): frozen-fit categorical frequency encoding and
+# frozen-vocabulary sparse TF-IDF — the remaining two fit/transform
+# families (featurize scales numerics; these cover categoricals and text).
+# Pure-integer determinism throughout (ppm frequencies, rational integer
+# IDF — no log, no float division before the final values).  NULL strata
+# injected: event_type NULL is a first-class fit category; NULL text
+# vectorizes to zero sparse rows.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.encoding import (
+    count_encode_fit,
+    count_encode_transform,
+)
+from ipl_dagster_pipeline_spark.operators.vectorize import tfidf_transform, vocab_fit
+
+_VOCAB_SIZE = 64
+
+
+def q_event_count_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency encoding of event_type fit on the train fold only: exact
+    BIGINT counts + integer ppm frequencies, joined back null-safely (NULL
+    is a category; unseen-at-fit encodes as 0).  Scale shape: one map-side
+    hash agg for the fit, one AQE-planned join for the transform."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    ev = hash_split(ev, "event_id", fractions=_FV_FRACS, out_col="fold")
+    fit = count_encode_fit(ev.where(F.col("fold") == "train"), "event_type")
+    return count_encode_transform(ev, fit, "event_type").select(
+        "event_id", "fold", "event_type", "ce_cnt", "ce_ppm"
+    )
+
+
+SQL_COUNT_ENCODING = """
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS event_type,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+    FROM events
+),
+f AS (
+    SELECT event_id, event_type,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS fold
+    FROM ev
+),
+fit AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM f WHERE fold = 'train' GROUP BY event_type
+),
+tot AS (SELECT count(*) AS total FROM f WHERE fold = 'train')
+SELECT f.event_id, f.fold, f.event_type,
+       CAST(coalesce(fit.cnt, 0) AS BIGINT) AS ce_cnt,
+       CAST(coalesce((fit.cnt * 1000000) // tot.total, 0) AS BIGINT) AS ce_ppm
+FROM f CROSS JOIN tot
+LEFT JOIN fit ON f.event_type IS NOT DISTINCT FROM fit.event_type
+"""
+
+
+def q_doc_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF rows under a 64-term vocabulary FROZEN on the train
+    fold (df-rank with a total tie-break; global rank rides the keyed
+    distributed prefix sum, never a one-task window).  Weights are the
+    pure-integer rarity product — no log, bit-identical cross-engine.
+    NULL-text stratum vectorizes to zero rows."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    docs = hash_split(docs, "doc_id", fractions=_SPLIT_FRACS, out_col="fold")
+    vocab = vocab_fit(docs.where(F.col("fold") == "train"), _VOCAB_SIZE)
+    return tfidf_transform(docs, vocab)
+
+
+SQL_TFIDF_VECTORS = f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+    FROM documents
+),
+f AS (
+    SELECT doc_id, text,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS fold
+    FROM d
+),
+tok AS (
+    SELECT doc_id, term
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM f)
+    WHERE term <> ''
+),
+dfc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+    FROM (SELECT DISTINCT t.doc_id, t.term
+          FROM tok t JOIN f ON t.doc_id = f.doc_id AND f.fold = 'train')
+    GROUP BY term
+),
+nf AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_fit_docs FROM f WHERE fold = 'train'),
+vocab AS (
+    SELECT term, CAST(row_number() OVER (ORDER BY df_docs DESC, term ASC) AS INTEGER) AS term_idx,
+           df_docs
+    FROM dfc
+    QUALIFY term_idx <= {_VOCAB_SIZE}
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term)
+SELECT tf.doc_id, vocab.term_idx, tf.term, tf.tf,
+       CAST(tf.tf * (((nf.n_fit_docs + 1) * 1000000) // (vocab.df_docs + 1)) AS BIGINT) AS weight
+FROM tf JOIN vocab USING (term) CROSS JOIN nf
+"""
+
+_B45_ALL_QUERIES_FN = all_queries
+_B45_ALL_ORACLES_FN = all_oracle_sql
+
+_B46_QUERIES = {
+    "event_count_encoding": q_event_count_encoding,
+    "doc_tfidf_vectors": q_doc_tfidf_vectors,
+}
+_B46_ORACLES = {
+    "event_count_encoding": SQL_COUNT_ENCODING,
+    "doc_tfidf_vectors": SQL_TFIDF_VECTORS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B45_ALL_QUERIES_FN()
+    out.update(_B46_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B45_ALL_ORACLES_FN()
+    out.update(_B46_ORACLES)
+    return out

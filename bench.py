@@ -82,6 +82,15 @@ EXTENDED = [
     "event_skew_profile",
     "event_rolling_quantiles",
     "event_cms_user_counts",
+    # round-5 fit/transform family: frozen-stat feature vectors, frozen-edge
+    # quantile bins, hashed crosses, frequency encoding, frozen-vocab TF-IDF,
+    # and token-window chunking (documents → training windows)
+    "event_feature_vectors",
+    "event_quantile_bins",
+    "event_hash_cross",
+    "event_count_encoding",
+    "doc_tfidf_vectors",
+    "doc_token_chunks",
 ]
 
 

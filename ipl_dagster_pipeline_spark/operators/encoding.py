@@ -98,3 +98,47 @@ def target_encode_pit(
             F.round(num.cast("double") / den.cast("double"), 6),
         )
     )
+
+
+def count_encode_fit(train: DataFrame, key_col: str, out_prefix: str = "ce") -> DataFrame:
+    """Frozen frequency-encoding table for ``key_col`` over the frame you
+    pass (pass the TRAIN fold — same fit/transform leakage discipline as
+    ``featurize.standardize_fit``): one row per observed key value with
+
+    * ``{out}_cnt`` — BIGINT occurrence count
+    * ``{out}_ppm`` — exact integer parts-per-million frequency
+      (``cnt · 10⁶ DIV total`` — no float division, bit-identical anywhere)
+
+    NULL is a first-class category (groupBy keeps the NULL group; the
+    transform joins null-safely).  Scale: one map-side-combined hash
+    aggregation; the fit table is |distinct keys| rows."""
+    counts = train.groupBy(key_col).agg(F.count(F.lit(1)).alias(f"{out_prefix}_cnt"))
+    total = train.count()
+    if total <= 0:
+        raise ValueError("count_encode_fit: empty fit frame")
+    return counts.withColumn(
+        f"{out_prefix}_ppm",
+        F.expr(f"CAST(({out_prefix}_cnt * 1000000) DIV {total} AS BIGINT)"),
+    )
+
+
+def count_encode_transform(
+    df: DataFrame, fit: DataFrame, key_col: str, out_prefix: str = "ce"
+) -> DataFrame:
+    """``df`` plus the frozen ``{out}_cnt`` / ``{out}_ppm`` columns —
+    null-safe left join against the fit table (a NULL key matches the fit's
+    NULL category; a key UNSEEN at fit time encodes as 0, not NULL: "never
+    seen" is a statement of frequency, not missing data).
+
+    Scale: the fit table is usually dimension-sized — leave the join
+    strategy to AQE (it broadcasts small fits on its own); a user-id-scale
+    fit degrades to a plain hash join, never a driver collect."""
+    fk = fit.select(
+        F.col(key_col).alias("__ce_k"),
+        F.col(f"{out_prefix}_cnt"),
+        F.col(f"{out_prefix}_ppm"),
+    )
+    out = df.join(fk, on=df[key_col].eqNullSafe(fk["__ce_k"]), how="left").drop("__ce_k")
+    for c in (f"{out_prefix}_cnt", f"{out_prefix}_ppm"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    return out

@@ -19,7 +19,15 @@ The three classic hazards it closes:
   that break schema stability between runs.
 * **unbounded categorical width** — ``hash_bucket_onehot`` folds any
   cardinality into ``n_buckets`` indicator columns via the portable 60-bit
-  md5 hash (identical assignment on any engine, any parallelism).
+  md5 hash (identical assignment on any engine, any parallelism);
+  ``hash_cross`` does the same for INTERACTION features whose joint domain
+  is unboundable.
+
+``quantile_bins_fit``/``quantile_bins_transform`` extend the frozen-fit
+discipline to discretization: edges are exact type-1 lower-rank quantile
+ELEMENTS (integer rank arithmetic over the keyed distributed prefix-sum
+ranking, `profiling.group_quantiles`' core) — never interpolated, so the
+binning is bit-identical cross-engine at any ``n_bins``.
 
 Determinism contract (cross-engine exact): inputs are quantized to INTEGER
 milli-units per row BEFORE aggregation, so fit statistics are exact BIGINTs
@@ -38,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ipl_dagster_pipeline_spark.operators.packing import with_keyed_cumsum
 from ipl_dagster_pipeline_spark.operators.text_dedup import portable_hash
 
 MILLI = 1_000
@@ -124,3 +133,114 @@ def hash_bucket_onehot(
             f"{prefix}_{i}", F.when(F.col("__hb") == i, F.lit(1)).otherwise(F.lit(0))
         )
     return out.drop("__hb")
+
+
+def hash_cross(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int,
+    seed: int = 13,
+    out_col: str = "cross_bucket",
+) -> DataFrame:
+    """Hashed feature cross: one bucket index from the JOINT value of
+    ``cols`` — the fixed-width stand-in for an interaction one-hot whose
+    true domain (|A|×|B|×…) is unboundable.  Each component is rendered
+    ``<name>=<value>`` and joined with an ASCII unit separator, so
+    ``("a", "b|c")`` and ``("a|b", "c")`` cannot collide and NULL is a
+    first-class category (``<null>`` sentinel, same as
+    :func:`hash_bucket_onehot`).  Pure projection: no shuffle, any engine
+    replays the md5 bucket exactly."""
+    if len(cols) < 2:
+        raise ValueError(f"hash_cross wants >= 2 columns, got {cols}")
+    parts = [
+        F.concat(
+            F.lit(f"{c}="),
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>")),
+        )
+        for c in cols
+    ]
+    key = F.concat_ws("\x1f", *parts)
+    return df.withColumn(out_col, F.pmod(portable_hash(key, seed), F.lit(n_buckets)))
+
+
+def quantile_bins_fit(
+    train: DataFrame,
+    col: str,
+    key_col: str,
+    n_bins: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One-row frame of frozen bin edges ``be_<col>_1 … be_<col>_{n_bins-1}``
+    — the exact type-1 lower-rank quantile ELEMENTS of ``col`` at ranks
+    ``((n-1)*i) DIV n_bins + 1`` over the frame you pass (pass the TRAIN
+    fold: same leakage discipline as :func:`standardize_fit`).
+
+    Edges are selected data elements, never interpolated, so the fit is
+    bit-identical on any engine for any ``n_bins`` (pure integer rank
+    arithmetic; ``key_col`` breaks value ties so the selected element is
+    deterministic at any parallelism).  Ranking rides the keyed two-phase
+    prefix sum (`packing.with_keyed_cumsum`) — no one-task global window.
+    NULL values are excluded from the fit (they transform to NULL).
+    An EMPTY fit yields a one-row frame of NULL edges; transform then maps
+    everything to bin 0 (degenerate-fit convention of :func:`zscore_expr`).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    vals = (
+        train.select(F.col(col), F.col(key_col))
+        .where(F.col(col).isNotNull())
+        .withColumn("__g", F.lit(0))
+        .withColumn("__one", F.lit(1))
+    )
+    ranked = with_keyed_cumsum(
+        vals,
+        group_cols=["__g"],
+        order_cols=[col, key_col],
+        value_col="__one",
+        out_col="__rank",
+        n_partitions=n_partitions,
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.crossJoin(F.broadcast(n))
+    sels = {
+        i: F.expr(f"CAST(((__n - 1) * {i}) DIV {n_bins} AS BIGINT) + 1")
+        for i in range(1, n_bins)
+    }
+    hit_any = None
+    for sel in sels.values():
+        c = F.col("__rank") == sel
+        hit_any = c if hit_any is None else (hit_any | c)
+    return j.filter(hit_any).agg(
+        *[
+            F.max(F.when(F.col("__rank") == sel, F.col(col))).alias(f"be_{col}_{i}")
+            for i, sel in sels.items()
+        ]
+    )
+
+
+def quantile_bins_transform(
+    df: DataFrame,
+    edges: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus ``{out_col}`` ∈ [0, n_bins) — the count of frozen edges
+    STRICTLY below the value (ties land in the lower bin), from a broadcast
+    cross join of the one-row edges frame.  NULL in → NULL out; NULL edges
+    (degenerate fit) contribute 0, so an empty fit maps everything to bin
+    0.  Pure projection — zero shuffles."""
+    out_col = out_col or f"qb_{col}"
+    bin_expr: Column = F.lit(0)
+    for i in range(1, n_bins):
+        e = F.col(f"be_{col}_{i}")
+        bin_expr = bin_expr + F.when(
+            e.isNotNull() & (F.col(col) > e), F.lit(1)
+        ).otherwise(F.lit(0))
+    out = df.crossJoin(F.broadcast(edges)).withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None).cast("int")).otherwise(
+            bin_expr.cast("int")
+        ),
+    )
+    return out.drop(*[f"be_{col}_{i}" for i in range(1, n_bins)])

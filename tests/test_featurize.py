@@ -67,3 +67,66 @@ def test_hash_bucket_onehot_partition_of_unity(frame):
     # NULL key is deterministic, not dropped
     null_rows = out.where(F.col("cat").isNull()).select(*hb).collect()
     assert len(null_rows) == 1 and sum(null_rows[0]) == 1
+
+
+def test_quantile_bins_fit_transform_leakage_safe(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import (
+        quantile_bins_fit,
+        quantile_bins_transform,
+    )
+
+    # train = 1..8 → quartile edges (type-1 lower-rank over n=8): ranks for
+    # i=1..3 are ((8-1)*i) DIV 4 + 1 = 2, 4, 6 → edges 2.0, 4.0, 6.0
+    train = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "id long, x double"
+    )
+    edges = quantile_bins_fit(train, "x", "id", 4)
+    [e] = edges.collect()
+    assert (e["be_x_1"], e["be_x_2"], e["be_x_3"]) == (2.0, 4.0, 6.0)
+    score = spark.createDataFrame(
+        [(1, 2.0), (2, 2.5), (3, 6.0), (4, 1000.0), (5, None), (6, -5.0)],
+        "id long, x double",
+    )
+    out = {r["id"]: r["qb_x"] for r in quantile_bins_transform(score, edges, "x", 4).collect()}
+    # ties land in the LOWER bin; out-of-range clips to the outer bins;
+    # the huge outlier did not move the frozen train edges (leakage-safe)
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: None, 6: 0}
+
+
+def test_quantile_bins_empty_fit_maps_to_bin_zero(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import (
+        quantile_bins_fit,
+        quantile_bins_transform,
+    )
+
+    df = spark.createDataFrame([(1, 3.0)], "id long, x double")
+    edges = quantile_bins_fit(df.limit(0), "x", "id", 4)
+    assert edges.count() == 1  # one row of NULL edges, not zero rows
+    [r] = quantile_bins_transform(df, edges, "x", 4).collect()
+    assert r["qb_x"] == 0
+
+
+def test_quantile_bins_rejects_degenerate_n_bins(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import quantile_bins_fit
+
+    df = spark.createDataFrame([(1, 3.0)], "id long, x double")
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bins_fit(df, "x", "id", 1)
+
+
+def test_hash_cross_null_and_boundary_safety(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import hash_cross
+
+    df = spark.createDataFrame(
+        [(1, "a", "b|c"), (2, "a|b", "c"), (3, None, "c"), (4, "<null>", "c")],
+        "id long, u string, v string",
+    )
+    rows = {r["id"]: r["cb"] for r in hash_cross(df, ["u", "v"], 64, out_col="cb").collect()}
+    assert all(0 <= b < 64 for b in rows.values())
+    # component boundaries cannot collide ("a","b|c") vs ("a|b","c"),
+    # and a literal "<null>" string is distinguishable only by chance —
+    # but a real NULL maps deterministically to the sentinel bucket
+    assert rows[1] != rows[2]
+    assert rows[3] == rows[4]
+    with pytest.raises(ValueError, match=">= 2"):
+        hash_cross(df, ["u"], 64)
