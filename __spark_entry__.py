@@ -2717,6 +2717,51 @@ DRIVER_QUERY_ORDER = [
     # the interval join inside dim_pit_enrich (+ both asof parities);
     # media_resize_images' grouped mapInPandas shape is media_sample_frames +
     # media_suite. ---
+    # --- round-5 rotation #2: the late-round-5 capability classes (the
+    # fit/transform family, PIT encoding, decay, sketches, iterative graph,
+    # LM scoring, geo, rolling order statistics) take the hard driver rows.
+    # The 12 demoted entries stay --all-checked; their capabilities remain
+    # gated transitively: doc_mixture_epochs' hash keep-probability family
+    # is doc_weighted_sample; doc_shuffle_shards' global prefix sum runs
+    # inside doc_pack_sequences + doc_bpe_token_budget; emb_lsh_topk_oracle's
+    # hyperplane-bucket equi-join + exact re-rank is emb_near_dup_lsh (and
+    # the ANN value-hash row stays via emb_ivf_topk_oracle);
+    # doc_winnow_fingerprints' shingle-hash machinery is
+    # doc_minhash_lsh_pairs + doc_incr_index_probe; doc_collapse_repeats'
+    # regex-normalize cleaning is doc_pii_redact; explode_default_record's
+    # explode shape is doc_token_chunks' posexplode and its defensive
+    # defaults are schema_enforce; union_entities' union-by-name is the
+    # branch union inside sessionize_parity + asof_parity;
+    # q5_revenue_enriched's broadcast fact×dim join is dim_pit_enrich +
+    # join_filters; doc_exact_dedup's hash-groupBy uniqueness is dedup_turns
+    # + doc_incr_index_probe's signature distinct; doc_simhash's near-dup
+    # bit-hash family is doc_minhash_lsh_pairs/doc_ngram_jaccard + the
+    # hashing trick gated in event_feature_vectors; lag_lead_features and
+    # rolling_features are verbatim sub-expressions of the gated
+    # rich_features/flagship_features fused window pass (lead stays
+    # catalog-checked in lead_targets, range frames in rolling_range).
+    # Catalog-only siblings of newly gated rows: event_cms_user_counts ↔
+    # event_hll_users (same mergeable-sketch register machinery),
+    # source_unigram_kl/doc_pmi_collocations ↔ doc_lm_surprisal (same
+    # integer milli-nat determinism core), event_hash_cross ↔
+    # event_feature_vectors (same portable-hash bucketing),
+    # doc_containment_pairs ↔ doc_ngram_jaccard (same df-capped inverted
+    # index), geo_route_lengths ↔ geo_station_proximity (same haversine
+    # core), doc_temperature_sample ↔ doc_weighted_sample (same hash
+    # keep-probability), event_skew_profile ↔ salted_agg_by_conv +
+    # event_hll_users (distribution metrics over the same agg shapes). ---
+    "event_feature_vectors",
+    "event_quantile_bins",
+    "event_count_encoding",
+    "doc_tfidf_vectors",
+    "doc_token_chunks",
+    "event_target_encode",
+    "event_decayed_features",
+    "event_hll_users",
+    "event_pagerank",
+    "doc_lm_surprisal",
+    "geo_station_proximity",
+    "event_rolling_quantiles",
     "doc_bpe_token_budget",
     "doc_incr_index_probe",
     "doc_bm25",
@@ -2728,28 +2773,20 @@ DRIVER_QUERY_ORDER = [
     "turn_context_windows",
     "dim_scd2_history",
     # --- round-3/4 rows retained ---
-    "doc_mixture_epochs",
-    "doc_shuffle_shards",
-    "emb_lsh_topk_oracle",
     "emb_ivf_topk_oracle",
     "dim_pit_enrich",
     "dim_merge_upsert",
     "doc_ngram_jaccard",
     "events_rollup_daily",
     "emb_dup_components",
-    "doc_winnow_fingerprints",
-    "doc_collapse_repeats",
     "doc_pii_redact",
     "doc_contamination",
     "doc_pack_sequences",
     "media_sample_frames",
     "incident_pipeline",
-    "explode_default_record",
     # --- flagship + windowed features ---
     "flagship_features",
     "rich_features",
-    "lag_lead_features",
-    "rolling_features",
     "sessionize_parity",
     "session_aggregates",
     # --- as-of strategies (4 paths across 2 parity entries) ---
@@ -2760,16 +2797,12 @@ DRIVER_QUERY_ORDER = [
     "schema_enforce",
     "scalar_suite",
     # --- relational core ---
-    "q5_revenue_enriched",
     "join_filters",
-    "union_entities",
     "salted_agg_by_conv",
     "user_event_stats",
     "prefer_first_lang",
     # --- documents / embeddings ---
     "doc_textstats",
-    "doc_exact_dedup",
-    "doc_simhash",
     "doc_minhash_lsh_pairs",
     "emb_near_dup_lsh",
     "media_suite",
@@ -4214,10 +4247,10 @@ def q_doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LM_SURPRISAL = """
 WITH w AS (
-    SELECT doc_id, u.w AS w, u.ord AS pos
-    FROM documents,
-         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-         WITH ORDINALITY AS u(w, ord)
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
 ),
 bg AS (
     SELECT doc_id, a, b FROM (
@@ -4422,7 +4455,7 @@ WITH d AS (
 ),
 c AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
 m AS (SELECT max(n_s) AS n_max FROM c)
-SELECT doc_id, source, n_chars
+SELECT doc_id, d.source AS source, n_chars
 FROM d JOIN c ON d.source IS NOT DISTINCT FROM c.source CROSS JOIN m
 WHERE {_duck_hash(_TMP_SEED, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} % 10000
       < CAST(round(least(greatest({_TMP_SCALE!r} * pow(CAST(n_s AS DOUBLE) / n_max, {_TMP_ALPHA - 1.0!r}), 0.0), 1.0) * 10000) AS BIGINT)
@@ -4497,10 +4530,11 @@ w AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, user_id, te_cnt, te_sum_micro,
-       round(CAST(CAST(te_sum_micro AS HUGEINT) * p_den
-                  + {_TE_SMOOTH} * CAST(p_num AS HUGEINT) AS DOUBLE)
-             / CAST(CAST(te_cnt + {_TE_SMOOTH} AS HUGEINT) * p_den * 1000000 AS DOUBLE),
-             6) AS te_value
+       CAST(CAST(
+           (CAST(te_sum_micro AS HUGEINT) * p_den + {_TE_SMOOTH} * CAST(p_num AS HUGEINT))
+               * 1000000
+           // (CAST(te_cnt + {_TE_SMOOTH} AS HUGEINT) * p_den * 1000000)
+       AS BIGINT) AS DOUBLE) / 1000000.0 AS te_value
 FROM w CROSS JOIN g
 """
 
@@ -4718,10 +4752,10 @@ def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PMI_COLLOCATIONS = f"""
 WITH w AS (
-    SELECT doc_id, u.w AS w, u.ord AS pos
-    FROM documents,
-         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-         WITH ORDINALITY AS u(w, ord)
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
 ),
 bg AS (
     SELECT a, b FROM (

@@ -86,17 +86,25 @@ def target_encode_pit(
     cnt = F.coalesce(F.count(lbl).over(w), F.lit(0)).cast("long")
     s = F.coalesce(F.sum(lbl).over(w), F.lit(0)).cast("long")
     # te = (s + m·p_num/p_den) / (cnt + m), cross-multiplied by p_den in
-    # DECIMAL(38,0) so every intermediate stays exact
+    # DECIMAL(38,0) so every intermediate stays exact.  The 6-dp value is
+    # the exact integer micro-quotient (num·10⁶ DIV den, truncation toward
+    # zero — Spark DIV and DuckDB // agree) divided by 10⁶ — never a float
+    # division followed by round(), whose half-way behavior is
+    # engine-defined at the last decimal.
     dec = "decimal(38,0)"
     num = s.cast(dec) * F.lit(p_den) + F.lit(smoothing) * F.lit(p_num).cast(dec)
     den = (cnt + F.lit(smoothing)).cast(dec) * F.lit(p_den) * F.lit(MICRO)
     return (
         df.withColumn(f"{out_prefix}_cnt", cnt)
         .withColumn(f"{out_prefix}_sum_micro", s)
+        .withColumn("__te_num", num)
+        .withColumn("__te_den", den)
         .withColumn(
             f"{out_prefix}_value",
-            F.round(num.cast("double") / den.cast("double"), 6),
+            F.expr(f"CAST((__te_num * {MICRO}) DIV __te_den AS BIGINT)").cast("double")
+            / F.lit(float(MICRO)),
         )
+        .drop("__te_num", "__te_den")
     )
 
 

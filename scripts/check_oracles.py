@@ -76,10 +76,18 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    if use_all:
+    if use_all or only:
+        # explicit names resolve against the FULL catalog — a named query
+        # that is not in the driver gate must still run, and a name that
+        # matches nothing is an error, never a silent PASS
         qs, oracles = entry_mod.all_queries(), entry_mod.all_oracle_sql()
     else:
         qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

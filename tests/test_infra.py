@@ -219,9 +219,22 @@ def test_driver_contract_consistency():
     assert set(qs) - set(oracles) == set()  # 50/50 fully value-hashed
     assert len(qs) == 50 and len(oracles) == 50
     assert list(qs) == em.DRIVER_QUERY_ORDER
-    # round-5 rotation: the new capabilities + the 8 round-4 catalog-only
-    # classes lead the gate
-    assert list(qs)[:10] == [
+    # round-5 rotation #2: the late-round-5 capability classes (fit/transform
+    # family, PIT encoding, decay, sketches, iterative graph, LM scoring,
+    # geo, rolling order statistics) lead the gate; rotation #1's ten follow
+    assert list(qs)[:22] == [
+        "event_feature_vectors",
+        "event_quantile_bins",
+        "event_count_encoding",
+        "doc_tfidf_vectors",
+        "doc_token_chunks",
+        "event_target_encode",
+        "event_decayed_features",
+        "event_hll_users",
+        "event_pagerank",
+        "doc_lm_surprisal",
+        "geo_station_proximity",
+        "event_rolling_quantiles",
         "doc_bpe_token_budget",
         "doc_incr_index_probe",
         "doc_bm25",
@@ -233,14 +246,19 @@ def test_driver_contract_consistency():
         "turn_context_windows",
         "dim_scd2_history",
     ]
-    # every demotion (rounds 4+5) stays catalog-checked (--all), and its
-    # capability remains transitively inside gated queries (see the
-    # DRIVER_QUERY_ORDER comment for the per-entry mapping)
+    # every demotion (rounds 4+5, both round-5 rotations) stays
+    # catalog-checked (--all), and its capability remains transitively
+    # inside gated queries (see the DRIVER_QUERY_ORDER comment for the
+    # per-entry mapping)
     for demoted in (
         "scalar_functions", "json_extract_props", "emb_cosine_topk", "emb_near_dup_pairs",
         "doc_token_budget", "doc_length_quantiles", "doc_stratified_sample", "doc_hash_split",
         "doc_quality_gate", "doc_top_terms", "q1_pricing_summary", "pivot_order_status",
         "temporal_filter", "media_resize_images",
+        "doc_mixture_epochs", "doc_shuffle_shards", "emb_lsh_topk_oracle",
+        "doc_winnow_fingerprints", "doc_collapse_repeats", "explode_default_record",
+        "union_entities", "q5_revenue_enriched", "doc_exact_dedup", "doc_simhash",
+        "lag_lead_features", "rolling_features",
     ):
         assert demoted not in qs and demoted in em.all_queries() and demoted in em.all_oracle_sql()
     # every merged-away original is still runnable via the full catalog

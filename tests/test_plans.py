@@ -161,3 +161,57 @@ def test_lm_and_containment_plans_stay_jvm_side(spark):
         for bad in ("ArrowEvalPython", "BatchEvalPython"):
             assert bad not in plan
         assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_fit_transform_family_plan_shapes(spark, tmp_path):
+    """Scale contracts for the round-5 fit/transform family over parquet
+    sources (the production shape):
+
+    * chunking and hashed crosses are PURE projections — zero exchanges;
+    * the standardize/one-hot/hashing feature assembly costs exactly the
+      fit's one global aggregation (broadcast back as a 1-row frame) —
+      no key shuffle anywhere;
+    * TF-IDF transform joins the frozen vocabulary by BROADCAST, never a
+      shuffled join on the term key.
+    """
+    from ipl_dagster_pipeline_spark.operators.chunking import chunk_token_windows
+    from ipl_dagster_pipeline_spark.operators.featurize import (
+        hash_bucket_onehot,
+        hash_cross,
+        one_hot,
+        standardize_fit,
+        standardize_transform,
+    )
+    from ipl_dagster_pipeline_spark.operators.vectorize import tfidf_transform, vocab_fit
+
+    ddir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", float(i), "a" if i % 2 else "b")
+         for i in range(50)],
+        "doc_id long, text string, x double, cat string",
+    ).write.parquet(ddir)
+    docs = spark.read.parquet(ddir)
+
+    # pure projections: no exchange at all
+    for df in (
+        chunk_token_windows(docs, chunk_size=3, overlap=1),
+        hash_cross(docs, ["cat", "doc_id"], 16),
+    ):
+        counts = _node_counts(spark, df)
+        assert counts.get("Exchange", 0) == 0, counts
+
+    # feature assembly: the only exchange is the fit's global agg
+    stats = standardize_fit(docs, ["x"])
+    out = standardize_transform(docs, stats, ["x"])
+    out = one_hot(out, "cat", ["a", "b"])
+    out = hash_bucket_onehot(out, "doc_id", 4)
+    counts = _node_counts(spark, out)
+    assert counts.get("Exchange", 0) <= 1, counts
+    assert counts.get("BroadcastExchange", 0) >= 1, counts
+    assert "SortMergeJoin" not in counts and "CartesianProduct" not in counts, counts
+
+    # TF-IDF: frozen vocab joins by broadcast, not a term-key shuffle join
+    vec = tfidf_transform(docs, vocab_fit(docs, 4))
+    counts = _node_counts(spark, vec)
+    assert counts.get("BroadcastHashJoin", 0) >= 1, counts
+    assert "SortMergeJoin" not in counts, counts
