@@ -5569,3 +5569,380 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B45_ALL_ORACLES_FN()
     out.update(_B46_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 47 (round 5): feature-selection statistics — exact-integer pairwise
+# Pearson correlation (one global agg, literal pair explosion) and
+# contingency-table mutual information (milli-nat quantization before the
+# sum, single input scan).  The oracles replay the exact integer sufficient
+# statistics and the fixed IEEE op sequence verbatim.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.stats import (
+    mutual_information,
+    pairwise_correlations,
+)
+
+_CORR_COLS = ["value", "plen", "hour"]
+
+
+def q_event_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson r over the assembled numeric features (milli-exact
+    sufficient statistics, pairwise NULL deletion — the injected NULL value
+    stratum exercises it).  ONE map-side-combined global aggregation."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.length("props").cast("double").alias("plen"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("hour"),
+    )
+    return pairwise_correlations(ev, _CORR_COLS)
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    va = f"CAST(round({a} * 1000) AS BIGINT)"
+    vb = f"CAST(round({b} * 1000) AS BIGINT)"
+    both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+    stats = f"""
+    SELECT CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n_pair,
+           CAST(coalesce(sum(CASE WHEN {both} THEN CAST({va} AS HUGEINT) END), 0) AS HUGEINT) AS sx,
+           CAST(coalesce(sum(CASE WHEN {both} THEN CAST({vb} AS HUGEINT) END), 0) AS HUGEINT) AS sy,
+           CAST(coalesce(sum(CASE WHEN {both} THEN CAST({va} AS HUGEINT) * CAST({va} AS HUGEINT) END), 0) AS HUGEINT) AS sxx,
+           CAST(coalesce(sum(CASE WHEN {both} THEN CAST({vb} AS HUGEINT) * CAST({vb} AS HUGEINT) END), 0) AS HUGEINT) AS syy,
+           CAST(coalesce(sum(CASE WHEN {both} THEN CAST({va} AS HUGEINT) * CAST({vb} AS HUGEINT) END), 0) AS HUGEINT) AS sxy
+    FROM ev"""
+    return f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b, n_pair,
+       CASE WHEN CAST(n_pair AS HUGEINT) * sxx - sx * sx <= 0
+              OR CAST(n_pair AS HUGEINT) * syy - sy * sy <= 0 THEN 0.0
+            ELSE round(
+                CAST(CAST(n_pair AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(CAST(n_pair AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                       * CAST(CAST(n_pair AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+       END AS r
+FROM ({stats})"""
+
+
+SQL_FEATURE_CORRELATIONS = f"""
+WITH ev AS (
+    SELECT CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+           CAST(length(props) AS DOUBLE) AS plen,
+           CAST(hour(ts) AS DOUBLE) AS hour
+    FROM events
+)
+{" UNION ALL ".join(_corr_pair_sql(a, b) for a, b in [("value", "plen"), ("value", "hour"), ("plen", "hour")])}
+"""
+
+
+def q_event_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type (NULL stratum injected — NULL
+    is a real category) and hour-of-day: exact contingency integers, cell
+    surprisals quantized to milli-nats before the order-independent sum.
+    One shuffle on the cell key; marginals derive from the persisted cells."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour"),
+    )
+    return mutual_information(ev, "event_type", "hour")
+
+
+SQL_TYPE_HOUR_MI = """
+WITH ev AS (
+    SELECT CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS event_type,
+           CAST(hour(ts) AS INTEGER) AS hour
+    FROM events
+),
+cells AS (
+    SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c_xy
+    FROM ev GROUP BY event_type, hour
+),
+mx AS (SELECT event_type, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY event_type),
+my AS (SELECT hour, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY hour),
+tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells),
+terms AS (
+    SELECT c_xy * CAST(round(ln(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                                / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000) AS BIGINT) AS t
+    FROM cells
+    JOIN mx ON cells.event_type IS NOT DISTINCT FROM mx.event_type
+    JOIN my ON cells.hour IS NOT DISTINCT FROM my.hour
+    CROSS JOIN tot
+)
+SELECT (SELECT n FROM tot) AS n_rows,
+       CAST(coalesce(sum(t), 0) AS BIGINT) AS mi_mnats_scaled,
+       round(CAST(coalesce(sum(t), 0) AS DOUBLE) / (1000.0 * (SELECT n FROM tot)), 6) AS mi
+FROM terms
+"""
+
+_B46_ALL_QUERIES_FN = all_queries
+_B46_ALL_ORACLES_FN = all_oracle_sql
+
+_B47_QUERIES = {
+    "event_feature_correlations": q_event_feature_correlations,
+    "event_type_hour_mi": q_event_type_hour_mi,
+}
+_B47_ORACLES = {
+    "event_feature_correlations": SQL_FEATURE_CORRELATIONS,
+    "event_type_hour_mi": SQL_TYPE_HOUR_MI,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B46_ALL_QUERIES_FN()
+    out.update(_B47_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B46_ALL_ORACLES_FN()
+    out.update(_B47_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 48 (round 5): deterministic uniform negative sampling (contrastive
+# training pairs).  Dense hash-order positions via the global two-phase
+# prefix sum, candidate positions by pure hash arithmetic, one equi-join —
+# never all-pairs, never a driver-side corpus.  The oracle replays the
+# position ranking, the draw, and the self-collision shift verbatim.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sampling import sample_negatives
+
+_NEG_K = 4
+_NEG_SEED = 53
+
+
+def q_doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 deterministic uniform negatives per document: hash-dense corpus
+    positions (global prefix sum — no single-partition window), pure-hash
+    draws with a deterministic self-collision shift, one position
+    equi-join."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return sample_negatives(docs, "doc_id", _NEG_K, seed=_NEG_SEED)
+
+
+SQL_NEGATIVE_PAIRS = f"""
+WITH d AS (SELECT doc_id FROM documents),
+idx AS (
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY {_duck_hash(_NEG_SEED, "coalesce(CAST(doc_id AS VARCHAR), '<null>')")} ASC,
+                        doc_id ASC) - 1 AS pos
+    FROM d
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d),
+drawn AS (
+    SELECT doc_id, pos, neg_rank,
+           {_duck_hash(_NEG_SEED, "concat(coalesce(CAST(doc_id AS VARCHAR), '<null>'), ':', CAST(neg_rank AS VARCHAR))")} % c AS raw,
+           c
+    FROM (SELECT doc_id, pos, unnest(generate_series(1, {_NEG_K})) AS neg_rank FROM idx)
+    CROSS JOIN n
+),
+fixed AS (
+    SELECT doc_id, neg_rank,
+           CASE WHEN raw = pos THEN (raw + 1) % c ELSE raw END AS neg_pos
+    FROM drawn
+)
+SELECT f.doc_id, CAST(f.neg_rank AS INTEGER) AS neg_rank, i.doc_id AS neg_doc_id
+FROM fixed f JOIN idx i ON f.neg_pos = i.pos
+"""
+
+_B47_ALL_QUERIES_FN = all_queries
+_B47_ALL_ORACLES_FN = all_oracle_sql
+
+_B48_QUERIES = {
+    "doc_negative_pairs": q_doc_negative_pairs,
+}
+_B48_ORACLES = {
+    "doc_negative_pairs": SQL_NEGATIVE_PAIRS,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B47_ALL_QUERIES_FN()
+    out.update(_B48_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B47_ALL_ORACLES_FN()
+    out.update(_B48_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 49 (round 5): PSI feature-drift monitor — frozen-edge quantile bins
+# fit on the train fold, exact ppm bin fractions with a deterministic 1-ppm
+# floor, per-bin (e−a)·milli-nat terms as exact BIGINTs.  NULL values form
+# the bin −1 (missingness drift is drift).  Oracle replays edges, binning,
+# floors, and the milli-nat quantization verbatim.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.stats import feature_psi
+
+
+def q_event_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI terms of `value` between the train fold (reference) and the test
+    fold (serving stand-in), 8 frozen train-fit bins + the NULL bin.  Scale
+    shape: one ranked pass for edges, pure-projection binning, bin-key aggs
+    — bins, not rows, reach the final join."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    ev = hash_split(ev, "event_id", fractions=_FV_FRACS, out_col="fold")
+    return feature_psi(
+        ev.where(F.col("fold") == "train"),
+        ev.where(F.col("fold") == "test"),
+        "value",
+        "event_id",
+        n_bins=_QB_BINS,
+    )
+
+
+_PSI_BIN_EXPR = "CASE WHEN value IS NULL THEN -1 ELSE " + " + ".join(
+    f"(CASE WHEN e_{i} IS NOT NULL AND value > e_{i} THEN 1 ELSE 0 END)"
+    for i in range(1, 8)
+) + " END"
+
+SQL_VALUE_PSI = f"""
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val'
+                   ELSE 'test' END AS fold
+    FROM ev
+),
+tr AS (
+    SELECT value, row_number() OVER (ORDER BY value ASC, event_id ASC) AS r
+    FROM f WHERE fold = 'train' AND value IS NOT NULL
+),
+n AS (SELECT count(*) AS c FROM tr),
+edges AS (
+    SELECT {", ".join(
+        f"max(CASE WHEN r = ((c - 1) * {i}) // 8 + 1 THEN value END) AS e_{i}"
+        for i in range(1, 8)
+    )}
+    FROM tr CROSS JOIN n
+),
+be AS (SELECT {_PSI_BIN_EXPR} AS bin FROM f CROSS JOIN edges WHERE fold = 'train'),
+ba AS (SELECT {_PSI_BIN_EXPR} AS bin FROM f CROSS JOIN edges WHERE fold = 'test'),
+ce AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_exp FROM be GROUP BY bin),
+ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_act FROM ba GROUP BY bin),
+j AS (
+    SELECT coalesce(ce.bin, ca.bin) AS bin,
+           coalesce(n_exp, 0) AS n_exp, coalesce(n_act, 0) AS n_act
+    FROM ce FULL OUTER JOIN ca ON ce.bin = ca.bin
+),
+tot AS (SELECT (SELECT coalesce(sum(n_exp), 0) FROM ce) AS te,
+               (SELECT coalesce(sum(n_act), 0) FROM ca) AS ta),
+ppm AS (
+    SELECT bin, n_exp, n_act,
+           greatest((n_exp * 1000000) // greatest(te, 1), 1) AS e_ppm,
+           greatest((n_act * 1000000) // greatest(ta, 1), 1) AS a_ppm
+    FROM j CROSS JOIN tot
+)
+SELECT CAST(bin AS INTEGER) AS bin, n_exp, n_act,
+       CAST(e_ppm AS BIGINT) AS e_ppm, CAST(a_ppm AS BIGINT) AS a_ppm,
+       CAST((e_ppm - a_ppm)
+            * CAST(round(ln(CAST(e_ppm AS DOUBLE) / CAST(a_ppm AS DOUBLE)) * 1000) AS BIGINT)
+        AS BIGINT) AS psi_term_scaled
+FROM ppm
+"""
+
+_B48_ALL_QUERIES_FN = all_queries
+_B48_ALL_ORACLES_FN = all_oracle_sql
+
+_B49_QUERIES = {
+    "event_value_psi": q_event_value_psi,
+}
+_B49_ORACLES = {
+    "event_value_psi": SQL_VALUE_PSI,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B48_ALL_QUERIES_FN()
+    out.update(_B49_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B48_ALL_ORACLES_FN()
+    out.update(_B49_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 50 (round 5): class-balanced downsampling — at most `cap` rows per
+# class in deterministic hash order, ranked by the KEYED distributed prefix
+# sum (a dominant class spans many partitions; that skew is exactly why the
+# cap exists).  NULL class is a real group.  Oracle = per-class
+# row_number() over the identical (hash, key) order.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sampling import sample_class_cap
+
+_CAP_N = 300
+_CAP_SEED = 61
+
+
+def q_event_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ≤300 events per event_type (NULL stratum is a real class) in
+    deterministic hash order — majority-class capping for skewed labels."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    return sample_class_cap(ev, "event_type", _CAP_N, "event_id", seed=_CAP_SEED)
+
+
+SQL_CLASS_BALANCE = f"""
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS event_type
+    FROM events
+),
+r AS (
+    SELECT event_id, event_type,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {_duck_hash(_CAP_SEED, "coalesce(CAST(event_id AS VARCHAR), '<null>')")} ASC,
+                        event_id ASC) AS class_rank
+    FROM ev
+)
+SELECT event_id, event_type, CAST(class_rank AS BIGINT) AS class_rank
+FROM r WHERE class_rank <= {_CAP_N}
+"""
+
+_B49_ALL_QUERIES_FN = all_queries
+_B49_ALL_ORACLES_FN = all_oracle_sql
+
+_B50_QUERIES = {
+    "event_class_balance": q_event_class_balance,
+}
+_B50_ORACLES = {
+    "event_class_balance": SQL_CLASS_BALANCE,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B49_ALL_QUERIES_FN()
+    out.update(_B50_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B49_ALL_ORACLES_FN()
+    out.update(_B50_ORACLES)
+    return out

@@ -91,6 +91,15 @@ EXTENDED = [
     "event_count_encoding",
     "doc_tfidf_vectors",
     "doc_token_chunks",
+    # round-5 feature-selection statistics: exact-integer pairwise Pearson
+    # (one global agg) and contingency MI (single scan, milli-nat sum)
+    "event_feature_correlations",
+    "event_type_hour_mi",
+    # round-5 contrastive negatives: dense-position prefix sum + hash draws
+    "doc_negative_pairs",
+    # round-5 drift monitor + class balancing
+    "event_value_psi",
+    "event_class_balance",
 ]
 
 

@@ -285,3 +285,117 @@ def shuffle_shards(
         .withColumn(shard_col, F.pmod(F.col(pos_col), F.lit(n_shards)).cast("int"))
         .drop("__h", "__one", "__rn")
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 53,
+    rank_col: str = "neg_rank",
+    neg_prefix: str = "neg_",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """K deterministic pseudo-random negatives per anchor row — the
+    contrastive-training companion to the positive pairs the dedup family
+    finds: one row per (anchor, rank 1..k) with ``{neg_prefix}{id_col}``
+    drawn uniformly from the corpus by hash.
+
+    How it scales (never an all-pairs join, never a driver-side corpus):
+
+    1. every row gets a DENSE position 0..n−1 in hash order via the global
+       two-phase prefix sum (`with_global_cumsum` — no single-partition
+       window); the indexed frame is persisted and reused on both sides;
+    2. each anchor expands to k candidates whose position is
+       ``hash(id ':' rank) mod n`` — a pure projection;
+    3. a self-collision (a row drawing itself) deterministically shifts to
+       the next position (``(pos+1) mod n``), so a negative is NEVER the
+       anchor;
+    4. one equi-join on the dense position fetches the negative ids.
+
+    Two ranks of one anchor may draw the same negative (standard for
+    uniform negative sampling; dedupe downstream if the loss requires it).
+    Identical output on any engine at any parallelism: positions are
+    hash-ordered with the id as tie-break, candidates are pure hash
+    arithmetic.  Requires ``n >= 2`` (raises otherwise) and distinct ids
+    (duplicate ids would make "self" ambiguous).
+    """
+    from ipl_dagster_pipeline_spark.caching import tracked_persist
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("<null>"))
+    indexed = with_global_cumsum(
+        df.select(id_col)
+        .withColumn("__h", portable_hash(key, seed))
+        .withColumn("__one", F.lit(1)),
+        order_col=["__h", id_col],
+        value_col="__one",
+        out_col="__rn",
+        n_partitions=n_partitions,
+    ).select(id_col, (F.col("__rn") - 1).cast("long").alias("__pos"))
+    indexed = tracked_persist(indexed)
+    n = indexed.count()
+    if n < 2:
+        raise ValueError(f"sample_negatives needs >= 2 rows, got {n}")
+    cand = indexed.select(
+        F.col(id_col),
+        "__pos",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias(rank_col),
+    )
+    draw = F.pmod(
+        portable_hash(
+            F.concat(key, F.lit(":"), F.col(rank_col).cast("string")), seed
+        ),
+        F.lit(n),
+    )
+    cand = cand.withColumn(
+        "__neg_pos",
+        F.when(draw == F.col("__pos"), (draw + 1) % n).otherwise(draw).cast("long"),
+    )
+    negs = indexed.select(
+        F.col("__pos").alias("__neg_pos"), F.col(id_col).alias(f"{neg_prefix}{id_col}")
+    )
+    return (
+        cand.join(negs, "__neg_pos")
+        .select(id_col, F.col(rank_col).cast("int").alias(rank_col), f"{neg_prefix}{id_col}")
+    )
+
+
+def sample_class_cap(
+    df: DataFrame,
+    class_col: str,
+    cap: int,
+    key_col: str,
+    seed: int = 61,
+    rank_col: str = "class_rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Class-balanced downsampling: keep at most ``cap`` rows per class,
+    chosen as the first ``cap`` in deterministic hash order — the standard
+    majority-class cap before training on skewed labels.
+
+    The per-class rank rides the KEYED two-phase prefix sum
+    (`with_keyed_cumsum`) — a dominant class (80% of the corpus) spans many
+    partitions instead of serializing into one task, which is exactly the
+    situation a class CAP exists for.  NULL class is a real group.  The
+    kept set is stable under any parallelism AND under appends that only
+    add rows hashing later (hash order is data-position-independent).
+    ``rank_col`` (1-based within class) is kept for auditability.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+    ranked = with_keyed_cumsum(
+        df.withColumn("__h", portable_hash(key, seed)).withColumn("__one", F.lit(1)),
+        group_cols=[class_col],
+        order_cols=["__h", key_col],
+        value_col="__one",
+        out_col=rank_col,
+        n_partitions=n_partitions,
+    )
+    return (
+        ranked.where(F.col(rank_col) <= cap)
+        .withColumn(rank_col, F.col(rank_col).cast("long"))
+        .drop("__h", "__one")
+    )

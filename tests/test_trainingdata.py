@@ -555,3 +555,33 @@ def test_robust_outliers_planted_and_null_group(spark):
     assert set(got) == {("a", 1000), (None, 2000)}
     med, mad = got[("a", 1000)]
     assert med in (100, 101, 102, 103, 104) and mad <= 2
+
+
+class TestSampleNegatives:
+    def test_counts_and_no_self_negatives(self, spark):
+        from ipl_dagster_pipeline_spark.operators.sampling import sample_negatives
+
+        df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+        out = sample_negatives(df, "doc_id", 3, seed=53).collect()
+        assert len(out) == 60  # every anchor gets exactly k rows
+        assert all(r["neg_doc_id"] != r["doc_id"] for r in out)  # never self
+        assert all(1 <= r["neg_rank"] <= 3 for r in out)
+        # deterministic: a second run is identical
+        again = sample_negatives(df, "doc_id", 3, seed=53).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        # a different seed draws a different sample
+        other = sample_negatives(df, "doc_id", 3, seed=54).collect()
+        assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+    def test_two_row_corpus_and_guards(self, spark):
+        from ipl_dagster_pipeline_spark.operators.sampling import sample_negatives
+
+        two = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        out = sample_negatives(two, "doc_id", 2).collect()
+        # with n=2 the only valid negative is the other row — always
+        assert all(r["neg_doc_id"] != r["doc_id"] for r in out) and len(out) == 4
+        import pytest as _pt
+        with _pt.raises(ValueError, match=">= 2 rows"):
+            sample_negatives(two.limit(1), "doc_id", 2)
+        with _pt.raises(ValueError, match="k must be"):
+            sample_negatives(two, "doc_id", 0)
