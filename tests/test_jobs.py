@@ -141,3 +141,35 @@ def test_corpus_job_lm_gate(spark, monkeypatch, tmp_path):
     curated = pipe.table("curated").read(spark)
     assert curated.filter(F.col("bits_per_bigram") > 9.0).count() == 0
     assert curated.count() > 0  # the gate is a filter, not a wipe
+
+
+def test_trainer_prep_job_resume_and_frozen_fits(spark, monkeypatch, tmp_path):
+    """jobs/trainer_prep.py: run → resume (no recompute, identical
+    checksums); the frozen fit artifacts are durable snapshots; features
+    cover every fold under the train-only fits."""
+    import jobs.trainer_prep as job
+
+    out = str(tmp_path / "trainer")
+    argv = ["trainer_prep.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--class-cap", "50"]
+    monkeypatch.setattr(sys, "argv", argv)
+    job.main()
+    pipe = CheckpointedPipeline(spark, out)
+    stages = ["balanced", "cefit", "corr", "edges", "features", "folds", "psi", "scaler"]
+    assert pipe.completed_stages() == stages
+    first = {s: total_from_lineage(spark, pipe.lineage_path, s) for s in stages}
+    # resume: lineage unchanged (nothing recomputed/re-appended)
+    monkeypatch.setattr(sys, "argv", argv)
+    job.main()
+    pipe2 = CheckpointedPipeline(spark, out)
+    assert {s: total_from_lineage(spark, pipe2.lineage_path, s) for s in stages} == first
+    feats = pipe2.table("features").read(spark)
+    folds = pipe2.table("folds").read(spark)
+    assert feats.count() == folds.count()  # every fold transformed
+    # the frozen scaler is train-only: its count equals the train fold size
+    [scaler] = pipe2.table("scaler").read(spark).collect()
+    n_train_value = folds.where("fold = 'train' AND value IS NOT NULL").count()
+    assert scaler["n_value"] == n_train_value
+    # class cap binds per class
+    bal = pipe2.table("balanced").read(spark)
+    assert bal.groupBy("event_type").count().agg(F.max("count")).collect()[0][0] <= 50
