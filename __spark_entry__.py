@@ -5946,3 +5946,97 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B49_ALL_ORACLES_FN()
     out.update(_B50_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 51 (round 5): frozen-fit imputation + winsorization — median fill
+# (exact lower-rank element) and p5/p95 clipping bounds fit on the TRAIN
+# fold, applied to every fold.  The oracle replays both rank selections and
+# the coalesce/least/greatest chain verbatim.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.featurize import (
+    clip_fit,
+    clip_transform,
+    impute_fit,
+    impute_transform,
+)
+
+
+def q_event_imputed_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impute NULL values with the train-fold exact median element, then
+    winsorize into the train-fold [p5, p95] elements — the standard
+    preprocessing pair under the frozen-fit discipline.  Scale shape: two
+    ranked passes over the train fold collapsing to one-row frames, then a
+    broadcast pure projection."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    ev = hash_split(ev, "event_id", fractions=_FV_FRACS, out_col="fold")
+    train = ev.where(F.col("fold") == "train")
+    med = impute_fit(train, ["value"], "event_id", strategy="median")
+    bounds = clip_fit(train, "value", "event_id", lo_percent=5, hi_percent=95)
+    out = ev.withColumn("value_raw", F.col("value"))
+    out = impute_transform(out, med, ["value"])
+    out = clip_transform(out, bounds, "value", out_col="value_clip")
+    return out.select(
+        "event_id", "fold", "value_raw",
+        F.col("value").alias("value_filled"), "value_clip",
+    )
+
+
+SQL_IMPUTED_CLIPPED = """
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+           CAST(concat('0x', substring(md5(concat('7:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+    FROM events
+),
+f AS (
+    SELECT event_id, value,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS fold
+    FROM ev
+),
+tr AS (
+    SELECT value, row_number() OVER (ORDER BY value ASC, event_id ASC) AS r
+    FROM f WHERE fold = 'train' AND value IS NOT NULL
+),
+n AS (SELECT count(*) AS c FROM tr),
+fit AS (
+    SELECT max(CASE WHEN r = ((c - 1) * 1) // 2 + 1 THEN value END) AS imp,
+           max(CASE WHEN r = ((c - 1) * 5) // 100 + 1 THEN value END) AS clip_lo,
+           max(CASE WHEN r = ((c - 1) * 95) // 100 + 1 THEN value END) AS clip_hi
+    FROM tr CROSS JOIN n
+)
+SELECT event_id, fold, value AS value_raw,
+       coalesce(value, imp) AS value_filled,
+       least(greatest(coalesce(value, imp), clip_lo), clip_hi) AS value_clip
+FROM f CROSS JOIN fit
+"""
+
+_B50_ALL_QUERIES_FN = all_queries
+_B50_ALL_ORACLES_FN = all_oracle_sql
+
+_B51_QUERIES = {
+    "event_imputed_clipped": q_event_imputed_clipped,
+}
+_B51_ORACLES = {
+    "event_imputed_clipped": SQL_IMPUTED_CLIPPED,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B50_ALL_QUERIES_FN()
+    out.update(_B51_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B50_ALL_ORACLES_FN()
+    out.update(_B51_ORACLES)
+    return out

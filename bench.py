@@ -100,6 +100,8 @@ EXTENDED = [
     # round-5 drift monitor + class balancing
     "event_value_psi",
     "event_class_balance",
+    # round-5 frozen-fit preprocessing: median impute + p5/p95 winsorize
+    "event_imputed_clipped",
 ]
 
 

@@ -244,3 +244,110 @@ def quantile_bins_transform(
         ),
     )
     return out.drop(*[f"be_{col}_{i}" for i in range(1, n_bins)])
+
+
+def impute_fit(
+    train: DataFrame,
+    cols: list[str],
+    key_col: str,
+    strategy: str = "median",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One-row frame of frozen fill values ``imp_<c>`` for ``cols`` — fit on
+    the frame you pass (the TRAIN fold), applied anywhere, like every fit in
+    this module.
+
+    ``median`` selects the exact type-1 lower-rank median ELEMENT (the
+    2-bin edge of :func:`quantile_bins_fit` — integer rank arithmetic,
+    deterministic at any parallelism); ``mean`` is the exact integer milli
+    quotient ``(Σ milli) DIV n`` divided by 1000 — no float accumulation.
+    An empty or all-NULL fit leaves the fill value NULL (transform then
+    keeps NULLs — nothing to impute FROM is a loud downstream signal, not
+    a silent zero)."""
+    if strategy not in ("median", "mean"):
+        raise ValueError(f"strategy must be 'median' or 'mean', got {strategy!r}")
+    if strategy == "median":
+        fits = [quantile_bins_fit(train, c, key_col, 2, n_partitions=n_partitions)
+                .withColumnRenamed(f"be_{c}_1", f"imp_{c}") for c in cols]
+        out = fits[0]
+        for f in fits[1:]:
+            out = out.crossJoin(F.broadcast(f))
+        return out
+    aggs = []
+    for c in cols:
+        v = value_milli(F.col(c))
+        # greatest(count, 1): ANSI evaluates the discarded CASE branch too —
+        # a 0 denominator would raise on an empty fit (same hazard as
+        # zscore_expr)
+        aggs.append(
+            F.when(
+                F.count(v) > 0,
+                (F.expr(f"CAST(sum(CAST(round({c} * 1000) AS BIGINT)) DIV "
+                        f"greatest(count(CAST(round({c} * 1000) AS BIGINT)), 1) AS BIGINT)")
+                 .cast("double") / F.lit(1000.0)),
+            ).alias(f"imp_{c}")
+        )
+    return train.agg(*aggs)
+
+
+def impute_transform(df: DataFrame, fits: DataFrame, cols: list[str]) -> DataFrame:
+    """``df`` with NULLs in ``cols`` replaced by the frozen fill values
+    (broadcast cross join of the one-row fits frame).  A NULL fill value
+    (degenerate fit) leaves the column untouched."""
+    out = df.crossJoin(F.broadcast(fits))
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"imp_{c}").cast("double")))
+    return out.drop(*[f"imp_{c}" for c in cols])
+
+
+def clip_fit(
+    train: DataFrame,
+    col: str,
+    key_col: str,
+    lo_percent: int = 1,
+    hi_percent: int = 99,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One-row frame of frozen winsorization bounds ``clip_lo``/``clip_hi``
+    — the exact lower-rank quantile ELEMENTS of ``col`` at the given
+    integer percents (`profiling.group_quantiles` on a constant group, so
+    the ranking rides the keyed distributed prefix sum)."""
+    from ipl_dagster_pipeline_spark.operators.profiling import group_quantiles
+
+    if not 0 <= lo_percent < hi_percent <= 100:
+        raise ValueError(
+            f"need 0 <= lo < hi <= 100, got lo={lo_percent} hi={hi_percent}"
+        )
+    q = group_quantiles(
+        train.where(F.col(col).isNotNull()).withColumn("__g", F.lit(0)),
+        group_cols=["__g"],
+        value_col=col,
+        key_col=key_col,
+        percents={"clip_lo": lo_percent, "clip_hi": hi_percent},
+        count_col="__n_fit",
+        n_partitions=n_partitions,
+    )
+    return q.drop("__g", "__n_fit")
+
+
+def clip_transform(
+    df: DataFrame, bounds: DataFrame, col: str, out_col: str | None = None
+) -> DataFrame:
+    """``df`` plus ``{out_col}`` = ``col`` winsorized into the frozen
+    ``[clip_lo, clip_hi]`` — the standard outlier guard that, unlike
+    dropping, keeps the row (its other features are still signal).  NULL in
+    → NULL out; an empty-fit (no bounds row) is a loud error rather than a
+    silent pass-through."""
+    out_col = out_col or f"clipped_{col}"
+    if bounds.count() != 1:
+        raise ValueError("clip_transform needs exactly one bounds row (empty fit?)")
+    # greatest/least SKIP nulls (both engines), which would clip a NULL value
+    # to clip_lo — guard explicitly so NULL in → NULL out holds
+    clipped = F.when(
+        F.col(col).isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(F.col(col), F.col("clip_lo")), F.col("clip_hi")))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, clipped)
+        .drop("clip_lo", "clip_hi")
+    )

@@ -15,12 +15,14 @@ Stages:
 
     folds     events + derived numerics (value/plen/hour) + deterministic
               hash fold (train/val/test)
+    imputer   train-fold median fill values (featurize.impute_fit)
+    clips     train-fold p1/p99 winsorization bounds (clip_fit)
     scaler    train-fold exact-integer milli stats (featurize.standardize_fit)
     edges     train-fold frozen quantile-bin edges (quantile_bins_fit)
     cefit     train-fold frequency-encoding table (count_encode_fit)
-    features  every fold transformed under the frozen artifacts: z-scores,
-              bin index, one-hot, hashed user buckets, count encoding —
-              the table a trainer reads
+    features  every fold transformed under the frozen artifacts: impute →
+              winsorize → z-scores, bin index, one-hot, hashed user
+              buckets, count encoding — the table a trainer reads
     psi       per-numeric-column PSI terms train → test (drift monitor;
               exact milli-nat BIGINT terms)
     corr      pairwise feature correlations (exact sufficient statistics)
@@ -50,7 +52,11 @@ from ipl_dagster_pipeline_spark.operators.encoding import (
     count_encode_transform,
 )
 from ipl_dagster_pipeline_spark.operators.featurize import (
+    clip_fit,
+    clip_transform,
     hash_bucket_onehot,
+    impute_fit,
+    impute_transform,
     one_hot,
     quantile_bins_fit,
     quantile_bins_transform,
@@ -97,12 +103,16 @@ def main() -> None:
     folds = pipe.stage("folds", _folds)
     train = folds.where(F.col("fold") == "train")
 
+    imputer = pipe.stage("imputer", lambda: impute_fit(train, NUM_COLS, "event_id"))
+    clips = pipe.stage("clips", lambda: clip_fit(train, "value", "event_id", 1, 99))
     scaler = pipe.stage("scaler", lambda: standardize_fit(train, NUM_COLS))
     edges = pipe.stage("edges", lambda: quantile_bins_fit(train, "value", "event_id", N_BINS))
     cefit = pipe.stage("cefit", lambda: count_encode_fit(train, "event_type"))
 
     def _features():
-        out = standardize_transform(folds, scaler, NUM_COLS)
+        out = impute_transform(folds, imputer, NUM_COLS)
+        out = clip_transform(out, clips, "value", out_col="value_winsor")
+        out = standardize_transform(out, scaler, NUM_COLS)
         out = quantile_bins_transform(out, edges, "value", N_BINS)
         out = one_hot(out, "event_type", TYPE_DOMAIN, prefix="oh")
         out = hash_bucket_onehot(out, "user_id", HB_BUCKETS)

@@ -130,3 +130,50 @@ def test_hash_cross_null_and_boundary_safety(spark):
     assert rows[3] == rows[4]
     with pytest.raises(ValueError, match=">= 2"):
         hash_cross(df, ["u"], 64)
+
+
+def test_impute_fit_transform_median_and_mean(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import (
+        impute_fit,
+        impute_transform,
+    )
+
+    train = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, None)],
+        "id long, x double",
+    )
+    med = impute_fit(train, ["x"], "id", strategy="median")
+    assert med.collect()[0]["imp_x"] == 20.0  # lower median ELEMENT of 4 non-nulls
+    mean = impute_fit(train, ["x"], "id", strategy="mean")
+    assert mean.collect()[0]["imp_x"] == 25.0
+    score = spark.createDataFrame([(9, None), (10, 7.0)], "id long, x double")
+    out = {r["id"]: r["x"] for r in impute_transform(score, med, ["x"]).collect()}
+    assert out == {9: 20.0, 10: 7.0}  # only NULLs filled
+    # degenerate fit: fill value NULL → NULLs stay NULL (loud, not zero)
+    empty = impute_fit(train.limit(0), ["x"], "id", strategy="mean")
+    out = {r["id"]: r["x"] for r in impute_transform(score, empty, ["x"]).collect()}
+    assert out == {9: None, 10: 7.0}
+    with pytest.raises(ValueError, match="strategy"):
+        impute_fit(train, ["x"], "id", strategy="mode")
+
+
+def test_clip_fit_transform_winsorizes_to_frozen_elements(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import clip_fit, clip_transform
+
+    train = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, x double"
+    )
+    bounds = clip_fit(train, "x", "id", lo_percent=5, hi_percent=95)
+    [b] = bounds.collect()
+    # exact lower-rank elements: rank (99*5)//100+1 = 5 → 5.0; (99*95)//100+1 = 95 → 95.0
+    assert (b["clip_lo"], b["clip_hi"]) == (5.0, 95.0)
+    score = spark.createDataFrame(
+        [(1, -100.0), (2, 50.0), (3, 1e6), (4, None)], "id long, x double"
+    )
+    out = {r["id"]: r["cx"] for r in
+           clip_transform(score, bounds, "x", out_col="cx").collect()}
+    assert out == {1: 5.0, 2: 50.0, 3: 95.0, 4: None}
+    with pytest.raises(ValueError, match="lo"):
+        clip_fit(train, "x", "id", lo_percent=95, hi_percent=5)
+    with pytest.raises(ValueError, match="bounds row"):
+        clip_transform(score, bounds.limit(0), "x")

@@ -155,7 +155,7 @@ def test_trainer_prep_job_resume_and_frozen_fits(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(sys, "argv", argv)
     job.main()
     pipe = CheckpointedPipeline(spark, out)
-    stages = ["balanced", "cefit", "corr", "edges", "features", "folds", "psi", "scaler"]
+    stages = ["balanced", "cefit", "clips", "corr", "edges", "features", "folds", "imputer", "psi", "scaler"]
     assert pipe.completed_stages() == stages
     first = {s: total_from_lineage(spark, pipe.lineage_path, s) for s in stages}
     # resume: lineage unchanged (nothing recomputed/re-appended)
@@ -166,6 +166,13 @@ def test_trainer_prep_job_resume_and_frozen_fits(spark, monkeypatch, tmp_path):
     feats = pipe2.table("features").read(spark)
     folds = pipe2.table("folds").read(spark)
     assert feats.count() == folds.count()  # every fold transformed
+    # imputation filled every NULL numeric; winsorized value within bounds
+    assert feats.where("value IS NULL").count() == 0
+    [b] = pipe2.table("clips").read(spark).collect()
+    n_out = feats.where(
+        (F.col("value_winsor") < b["clip_lo"]) | (F.col("value_winsor") > b["clip_hi"])
+    ).count()
+    assert n_out == 0
     # the frozen scaler is train-only: its count equals the train fold size
     [scaler] = pipe2.table("scaler").read(spark).collect()
     n_train_value = folds.where("fold = 'train' AND value IS NOT NULL").count()
