@@ -215,3 +215,31 @@ def test_fit_transform_family_plan_shapes(spark, tmp_path):
     counts = _node_counts(spark, vec)
     assert counts.get("BroadcastHashJoin", 0) >= 1, counts
     assert "SortMergeJoin" not in counts, counts
+
+
+def test_feature_stats_and_negatives_plan_shapes(spark, tmp_path):
+    """Scale contracts for the round-5 statistics/sampling ops over parquet:
+
+    * pairwise_correlations is ONE global aggregation — no join of any
+      kind, no per-key exchange;
+    * sample_negatives joins candidates to positions with an EQUI join —
+      never a CartesianProduct / BroadcastNestedLoopJoin.
+    """
+    from ipl_dagster_pipeline_spark.operators.sampling import sample_negatives
+    from ipl_dagster_pipeline_spark.operators.stats import pairwise_correlations
+
+    ddir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, float(i), float(i * 2), float(i % 7)) for i in range(64)],
+        "id long, a double, b double, c double",
+    ).write.parquet(ddir)
+    ev = spark.read.parquet(ddir)
+
+    counts = _node_counts(spark, pairwise_correlations(ev, ["a", "b", "c"]))
+    assert not any("Join" in k for k in counts), counts
+    assert counts.get("HashAggregate", 0) >= 1, counts
+
+    counts = _node_counts(spark, sample_negatives(ev, "id", 3))
+    assert "CartesianProduct" not in counts, counts
+    assert "BroadcastNestedLoopJoin" not in counts, counts
+    assert any(k.endswith("HashJoin") or k == "SortMergeJoin" for k in counts), counts
