@@ -5955,10 +5955,9 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
 # ---------------------------------------------------------------------------
 
 from ipl_dagster_pipeline_spark.operators.featurize import (
-    clip_fit,
     clip_transform,
-    impute_fit,
     impute_transform,
+    quantile_fit_elements,
 )
 
 
@@ -5976,11 +5975,17 @@ def q_event_imputed_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = hash_split(ev, "event_id", fractions=_FV_FRACS, out_col="fold")
     train = ev.where(F.col("fold") == "train")
-    med = impute_fit(train, ["value"], "event_id", strategy="median")
-    bounds = clip_fit(train, "value", "event_id", lo_percent=5, hi_percent=95)
+    # ONE ranked pass fits the median AND both clip bounds (the ranking is
+    # the fit cost); the persisted one-row frame feeds both transforms
+    from ipl_dagster_pipeline_spark.caching import tracked_persist
+
+    fit = tracked_persist(quantile_fit_elements(
+        train, "value", "event_id",
+        {"imp_value": 50, "clip_lo": 5, "clip_hi": 95},
+    ))
     out = ev.withColumn("value_raw", F.col("value"))
-    out = impute_transform(out, med, ["value"])
-    out = clip_transform(out, bounds, "value", out_col="value_clip")
+    out = impute_transform(out, fit.select("imp_value"), ["value"])
+    out = clip_transform(out, fit.select("clip_lo", "clip_hi"), "value", out_col="value_clip")
     return out.select(
         "event_id", "fold", "value_raw",
         F.col("value").alias("value_filled"), "value_clip",
@@ -6039,4 +6044,73 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noq
 def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B50_ALL_ORACLES_FN()
     out.update(_B51_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 52 (round 5): wide→long feature melt (unpivot) — the reshape between
+# the trainer's wide feature table and the long (entity, feature, value)
+# layout feature stores and monitoring systems consume.  Spark's native
+# unpivot (Catalyst Expand: one pass, zero shuffles, rows × n_features
+# output); the oracle is the equivalent UNION ALL.  NULLs are RETAINED
+# (includeNulls) — a missing feature value is a fact the long layout must
+# carry, not a dropped row.
+# ---------------------------------------------------------------------------
+
+_MELT_COLS = ["value", "plen", "hour"]
+
+
+def q_event_feature_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape of the numeric feature columns: one output row
+    per (event, feature) with NULLs kept.  Pure one-pass Expand projection —
+    no shuffle at any scale."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.length("props").cast("double").alias("plen"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("hour"),
+    )
+    return ev.unpivot(
+        ids=["event_id"],
+        values=_MELT_COLS,
+        variableColumnName="feature",
+        valueColumnName="feature_value",
+    )
+
+
+SQL_FEATURE_MELT = f"""
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+           CAST(length(props) AS DOUBLE) AS plen,
+           CAST(hour(ts) AS DOUBLE) AS hour
+    FROM events
+)
+{" UNION ALL ".join(
+    f"SELECT event_id, '{c}' AS feature, {c} AS feature_value FROM ev"
+    for c in _MELT_COLS
+)}
+"""
+
+_B51_ALL_QUERIES_FN = all_queries
+_B51_ALL_ORACLES_FN = all_oracle_sql
+
+_B52_QUERIES = {
+    "event_feature_melt": q_event_feature_melt,
+}
+_B52_ORACLES = {
+    "event_feature_melt": SQL_FEATURE_MELT,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B51_ALL_QUERIES_FN()
+    out.update(_B52_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B51_ALL_ORACLES_FN()
+    out.update(_B52_ORACLES)
     return out

@@ -102,6 +102,8 @@ EXTENDED = [
     "event_class_balance",
     # round-5 frozen-fit preprocessing: median impute + p5/p95 winsorize
     "event_imputed_clipped",
+    # round-5 wide→long melt (single Expand pass)
+    "event_feature_melt",
 ]
 
 

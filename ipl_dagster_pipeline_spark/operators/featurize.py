@@ -351,3 +351,31 @@ def clip_transform(
         .withColumn(out_col, clipped)
         .drop("clip_lo", "clip_hi")
     )
+
+
+def quantile_fit_elements(
+    train: DataFrame,
+    col: str,
+    key_col: str,
+    percents: dict[str, int],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One-row frame of NAMED exact lower-rank quantile elements of ``col``
+    — the shared single ranked pass behind median imputation AND
+    winsorization bounds: pass ``{"imp_<col>": 50, "clip_lo": 5,
+    "clip_hi": 95}``, persist the row, and feed it to both
+    :func:`impute_transform` and :func:`clip_transform` (each drops only
+    its own columns).  One keyed-prefix-sum ranking instead of one per
+    fit — at 100 TB the ranked pass IS the fit cost."""
+    from ipl_dagster_pipeline_spark.operators.profiling import group_quantiles
+
+    q = group_quantiles(
+        train.where(F.col(col).isNotNull()).withColumn("__g", F.lit(0)),
+        group_cols=["__g"],
+        value_col=col,
+        key_col=key_col,
+        percents=percents,
+        count_col="__n_fit",
+        n_partitions=n_partitions,
+    )
+    return q.drop("__g", "__n_fit")

@@ -177,3 +177,28 @@ def test_clip_fit_transform_winsorizes_to_frozen_elements(spark):
         clip_fit(train, "x", "id", lo_percent=95, hi_percent=5)
     with pytest.raises(ValueError, match="bounds row"):
         clip_transform(score, bounds.limit(0), "x")
+
+
+def test_quantile_fit_elements_single_pass_feeds_both_transforms(spark):
+    from ipl_dagster_pipeline_spark.operators.featurize import (
+        clip_transform,
+        impute_transform,
+        quantile_fit_elements,
+    )
+
+    train = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, x double"
+    )
+    fit = quantile_fit_elements(
+        train, "x", "id", {"imp_x": 50, "clip_lo": 5, "clip_hi": 95}
+    )
+    [f] = fit.collect()
+    # same rank formula as group_quantiles: ((n-1)*p)//100 + 1
+    assert (f["imp_x"], f["clip_lo"], f["clip_hi"]) == (50.0, 5.0, 95.0)
+    score = spark.createDataFrame(
+        [(1, None), (2, -7.0), (3, 200.0)], "id long, x double"
+    )
+    out = impute_transform(score, fit.select("imp_x"), ["x"])
+    out = clip_transform(out, fit.select("clip_lo", "clip_hi"), "x", out_col="cx")
+    rows = {r["id"]: (r["x"], r["cx"]) for r in out.collect()}
+    assert rows == {1: (50.0, 50.0), 2: (-7.0, 5.0), 3: (200.0, 95.0)}
