@@ -113,13 +113,25 @@ class MinHashIndex:
 
     # -- helpers --------------------------------------------------------
 
-    @staticmethod
-    def _committed_batches(table: SnapshotTable) -> set[str]:
-        return {
+    def _registry_file(self) -> str:
+        return os.path.join(self.root, "_batches.json")
+
+    def _registry(self) -> dict[str, list[str]]:
+        """Batch ids whose manifests were folded away by maintain() —
+        idempotence must survive snapshot expiration (round-5 ADVICE)."""
+        if os.path.exists(self._registry_file()):
+            with open(self._registry_file()) as fh:
+                return json.load(fh)
+        return {}
+
+    def _committed_batches(self, name: str, table: SnapshotTable) -> set[str]:
+        """Union of live-manifest batch tags and the durable registry."""
+        live = {
             m.get("meta", {}).get("batch_id")
             for m in table.snapshots()
             if m.get("meta", {}).get("batch_id")
         }
+        return live | set(self._registry().get(name, []))
 
     def _batch_snapshot_df(self, spark: SparkSession, table: SnapshotTable, batch_id: str) -> DataFrame:
         for m in table.snapshots():
@@ -129,36 +141,92 @@ class MinHashIndex:
 
     # -- core -----------------------------------------------------------
 
-    def add_batch(self, batch: DataFrame, batch_id: str) -> DataFrame:
+    def _touched_bands(self, spark: SparkSession, bands_new: DataFrame) -> DataFrame:
+        """Stored ∪ new band rows, with the STORED side semi-joined down to
+        the delta's distinct (band, bucket) keys BEFORE the union and the
+        bucket-size window.
+
+        This is what makes ``add_batch`` O(batch + neighborhood) instead of
+        O(index): a daily batch never shuffles the whole corpus×n_bands
+        bands table.  Semantics are exactly preserved — an untouched bucket
+        contains no ``__new`` row, so it can never emit a probe pair, and
+        its ``__bsize`` is never consulted (the cap filter only matters for
+        buckets that DO contain a probe row, whose full stored population
+        survives the semi-join).  Reference precedent: fetch only what
+        changed (If-Modified-Since discipline, util/urllib.py:59-72).
+        """
+        id_col = self.params["id_col"]
+        if self.bands.current_snapshot_id() is None:
+            return bands_new
+        delta_keys = bands_new.select("band", "bucket").distinct()
+        touched = (
+            self.bands.read(spark)
+            .select(id_col, "band", "bucket")
+            .join(delta_keys, on=["band", "bucket"], how="leftsemi")
+        )
+        return touched.withColumn("__new", F.lit(False)).unionByName(bands_new)
+
+    def add_batch(
+        self, batch: DataFrame, batch_id: str, check_duplicate_ids: bool = True
+    ) -> DataFrame:
         """Index ``batch`` and return the NEW verified near-dup pairs —
         every (old, new) and (new, new) pair with Jaccard ≥ threshold.
 
-        Probe = new band rows equi-joined against stored ∪ new band rows on
-        (band, bucket); verification = exact Jaccard over the batch shingles
-        plus the re-shingled MATCHED old docs only.  Idempotent per
-        ``batch_id`` (a replay returns the already-committed pairs).
+        Probe = new band rows equi-joined against (delta-bucket-filtered
+        stored) ∪ new band rows on (band, bucket); verification = exact
+        Jaccard over the batch shingles plus the re-shingled MATCHED old
+        docs only.  Idempotent per ``batch_id`` (a replay returns the
+        already-committed pairs; after ``maintain()`` folded that batch's
+        per-batch attribution into a compaction snapshot, a replay returns
+        an EMPTY delta — the pairs themselves live on in ``all_pairs``).
+
+        ``check_duplicate_ids`` (default on) drops batch rows whose id is
+        already indexed — a re-submitted doc would otherwise append a second
+        bands/docs copy and poison that id's exact-Jaccard verification
+        (shingle sets union across versions).  The guard costs one
+        id-pruned anti-join against the docs table per batch; pipelines
+        that guarantee globally-unique ids upstream can disable it to keep
+        the batch strictly O(batch + neighborhood).  Dropped duplicates are
+        observable (``observed_metrics('incr_index_dup_ids')``), never
+        silent.
         """
         spark = batch.sparkSession
         p = self.params
         id_col, text_col = p["id_col"], p["text_col"]
-        if batch_id in self._committed_batches(self.docs):  # docs commit = batch-done marker
-            return self._batch_snapshot_df(spark, self.pairs, batch_id)
+        if batch_id in self._committed_batches("docs", self.docs):  # docs commit = batch-done marker
+            try:
+                return self._batch_snapshot_df(spark, self.pairs, batch_id)
+            except KeyError:
+                # per-batch manifest expired by maintain(); replay is a no-op
+                return self.pairs.read(spark).limit(0)
+
+        batch = batch.select(id_col, text_col)
+        if check_duplicate_ids and self.docs.current_snapshot_id() is not None:
+            obs_dup = register_observation("incr_index_dup_ids")
+            batch = (
+                batch.join(
+                    self.docs.read(spark).select(id_col, F.lit(True).alias("__dup")),
+                    on=id_col,
+                    how="left",
+                )
+                .observe(
+                    obs_dup,
+                    F.sum(F.col("__dup").cast("long")).alias("dropped_dup_ids"),
+                    F.count(F.lit(1)).alias("batch_rows"),
+                )
+                .filter(F.col("__dup").isNull())
+                .drop("__dup")
+            )
 
         sh_new = tracked_persist(shingles(batch, id_col, text_col, p["k"]))
         sig_new = minhash_signatures(sh_new, id_col, p["n_hashes"])
         rows_per_band = p["n_hashes"] // p["n_bands"]
-        bands_new = band_rows(sig_new, id_col, p["n_bands"], rows_per_band).withColumn(
-            "__new", F.lit(True)
-        )
-        if self.bands.current_snapshot_id() is not None:
-            bands_all = (
-                self.bands.read(spark)
-                .select(id_col, "band", "bucket")
-                .withColumn("__new", F.lit(False))
-                .unionByName(bands_new)
+        bands_new = tracked_persist(
+            band_rows(sig_new, id_col, p["n_bands"], rows_per_band).withColumn(
+                "__new", F.lit(True)
             )
-        else:
-            bands_all = bands_new
+        )
+        bands_all = self._touched_bands(spark, bands_new)
 
         # union-size bucket cap rides the probe join's own (band, bucket)
         # shuffle; dropped probe rows are observable, never silent
@@ -210,11 +278,11 @@ class MinHashIndex:
         new_pairs = jaccard_pairs(cand, sh_ver, id_col, p["threshold"])
 
         meta = {"batch_id": batch_id}
-        if batch_id not in self._committed_batches(self.pairs):
+        if batch_id not in self._committed_batches("pairs", self.pairs):
             self.pairs.commit(new_pairs, mode="append", meta=meta)
-        if batch_id not in self._committed_batches(self.bands):
+        if batch_id not in self._committed_batches("bands", self.bands):
             self.bands.commit(bands_new.drop("__new"), mode="append", meta=meta)
-        if batch_id not in self._committed_batches(self.docs):
+        if batch_id not in self._committed_batches("docs", self.docs):
             self.docs.commit(batch.select(id_col, text_col), mode="append", meta=meta)
         return self._batch_snapshot_df(spark, self.pairs, batch_id)
 
@@ -233,7 +301,30 @@ class MinHashIndex:
 
     def maintain(self, spark: SparkSession, keep_last: int = 3, target_files: int = 8) -> dict:
         """Periodic housekeeping: compact each table's append chain into one
-        balanced overwrite snapshot, then expire pre-compaction history."""
+        balanced overwrite snapshot, then expire pre-compaction history.
+
+        Before expiring, every live manifest's ``batch_id`` tag is folded
+        into the durable ``_batches.json`` registry at the index root, so
+        ``add_batch`` idempotence survives manifest expiration — a scheduler
+        retry of an old batch after maintenance stays a no-op instead of
+        silently double-appending (round-5 ADVICE).  The registry is written
+        tmp+rename (same atomic-publish discipline as the manifests).
+        """
+        reg = self._registry()
+        for name, tbl in (("docs", self.docs), ("bands", self.bands), ("pairs", self.pairs)):
+            tagged = {
+                m.get("meta", {}).get("batch_id")
+                for m in tbl.snapshots()
+                if m.get("meta", {}).get("batch_id")
+            }
+            merged = sorted(set(reg.get(name, [])) | tagged)
+            if merged:
+                reg[name] = merged
+        tmp = self._registry_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(reg, fh)
+        os.replace(tmp, self._registry_file())
+
         out = {}
         for name, tbl in (("docs", self.docs), ("bands", self.bands), ("pairs", self.pairs)):
             if tbl.current_snapshot_id() is None:

@@ -185,7 +185,9 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (224, 224), fake: 
                     arr = decode_image(bytes(payload))
                     h, w = arr.shape[:2]
                     scale = min(tw / w, th / h, 1.0)
-                    ow, oh = int(w * scale), int(h * scale)
+                    # clamp: an extreme aspect ratio (10000x2 @ 224x224) would
+                    # truncate one dim to 0 and emit a hash of zero pixels
+                    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
                     resized = resize_nearest(arr, ow, oh)
                     recs.append(
                         {

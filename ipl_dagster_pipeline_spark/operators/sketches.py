@@ -207,7 +207,20 @@ def cms_estimate(
 
     `keys` carries one row per candidate (other columns pass through); the
     probe is a d-row explode + equi-join against the counter frame — never a
-    scan of the raw data.  Keys absent from the sketch estimate 0."""
+    scan of the raw data.  Keys absent from the sketch estimate 0.
+
+    A sketch built with ``group_cols`` carries those columns in its schema;
+    the probe then joins on them too (they must be present in ``keys``), so
+    counters are never mixed across groups — mixing would let min() return
+    an estimate BELOW the true per-group count, violating the est ≥ true
+    CMS guarantee (round-5 ADVICE)."""
+    group_cols = [c for c in sketch.columns if c not in ("r", "c", "cnt")]
+    missing = [c for c in group_cols if c not in keys.columns]
+    if missing:
+        raise ValueError(
+            f"cms_estimate: sketch is grouped by {group_cols} but keys frame "
+            f"lacks {missing} — probing across groups would break est >= true"
+        )
     probe = keys.withColumn("__base", _cms_base(F.col(key_col), seed))
     cells = F.array(
         *[
@@ -218,7 +231,7 @@ def cms_estimate(
     exploded = probe.select(
         *[c for c in keys.columns], F.explode(cells).alias("__cell")
     ).select(*keys.columns, F.col("__cell.r").alias("r"), F.col("__cell.c").alias("c"))
-    joined = exploded.join(F.broadcast(sketch), on=["r", "c"], how="left")
+    joined = exploded.join(F.broadcast(sketch), on=["r", "c", *group_cols], how="left")
     return joined.groupBy(*keys.columns).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
     )

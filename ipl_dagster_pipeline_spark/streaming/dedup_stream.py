@@ -24,6 +24,7 @@ recompute; this bounds it by arrival and pays batch-sized work.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
 
 from ..operators.dedup_index import MinHashIndex
 
@@ -37,14 +38,26 @@ def stream_dedup_index(
     max_files_per_trigger: int | None = None,
     maintain_every: int | None = None,
     maintain_keep_last: int = 3,
+    schema: StructType | None = None,
 ):
     """Start (or catch up) the streaming dedup-index maintenance query.
 
     Returns the StreamingQuery; callers ``awaitTermination()`` it.  The
-    document schema is taken from the existing files in ``input_dir``
-    (must carry the index's id/text columns).
+    document schema is ``schema`` if given; otherwise it is inferred from
+    the existing files in ``input_dir``, falling back to the index's own
+    docs table on a fresh deployment where no input file has landed yet
+    (round-5 ADVICE: the query must be startable before the first batch).
     """
-    schema = spark.read.parquet(input_dir).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(input_dir).schema
+        except Exception:
+            if index.docs.current_snapshot_id() is None:
+                raise ValueError(
+                    f"cannot infer stream schema: {input_dir!r} has no files yet "
+                    "and the index is empty — pass schema= explicitly"
+                ) from None
+            schema = index.docs.read(spark).schema
     for col in (index.params["id_col"], index.params["text_col"]):
         if col not in schema.fieldNames():
             raise ValueError(f"stream input lacks index column {col!r}")

@@ -122,3 +122,81 @@ def test_maintain_compacts_and_preserves_reads(spark, docs, tmp_path):
     full = minhash_lsh_dedup(docs.filter(F.col("doc_id") < 400), threshold=0.5)
     delta = full.filter((F.col("doc_a") >= 300) | (F.col("doc_b") >= 300))
     assert _pairs_set(p) == _pairs_set(delta)
+
+
+def test_probe_is_delta_filtered_not_index_wide(spark, docs, tmp_path):
+    """Scale contract (round-5 VERDICT #1): the stored bands scan feeding
+    the bucket-size window must be semi-joined on the delta's (band, bucket)
+    keys — a daily batch must never shuffle the whole corpus×n_bands index."""
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.add_batch(docs.filter(F.col("doc_id") < 200), batch_id="b1")
+    b2 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    from ipl_dagster_pipeline_spark.operators.text_dedup import (
+        band_rows,
+        minhash_signatures,
+        shingles,
+    )
+
+    p = idx.params
+    sig = minhash_signatures(shingles(b2, p["id_col"], p["text_col"], p["k"]), p["id_col"], p["n_hashes"])
+    bands_new = band_rows(sig, p["id_col"], p["n_bands"], p["n_hashes"] // p["n_bands"]).withColumn(
+        "__new", F.lit(True)
+    )
+    plan = idx._touched_bands(spark, bands_new)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    # and the semi-join keys are the bucket coordinates, not the doc id
+    semi_line = next(l for l in plan.splitlines() if "LeftSemi" in l)
+    assert "band" in semi_line and "bucket" in semi_line, semi_line
+
+
+def test_replay_after_maintain_is_still_idempotent(spark, docs, tmp_path):
+    """Round-5 ADVICE (medium): maintain() expires the manifests carrying
+    batch_id tags; a scheduler retry of an old batch afterwards must remain
+    a no-op (durable _batches.json registry), returning an empty delta —
+    never a double-append."""
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    b1 = docs.filter(F.col("doc_id") < 150)
+    idx.add_batch(b1, batch_id="b1")
+    idx.add_batch(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)), batch_id="b2")
+    before_pairs = _pairs_set(idx.all_pairs(spark))
+    n_docs = idx.docs.read(spark).count()
+    n_bands = idx.bands.read(spark).count()
+    idx.maintain(spark, keep_last=1, target_files=2)
+    # the batch tags are gone from live manifests but held by the registry
+    assert not any(m["meta"].get("batch_id") == "b1" for m in idx.docs.snapshots())
+    replay = idx.add_batch(b1, batch_id="b1")
+    assert replay.count() == 0  # attribution folded away -> empty delta
+    assert idx.docs.read(spark).count() == n_docs
+    assert idx.bands.read(spark).count() == n_bands
+    assert _pairs_set(idx.all_pairs(spark)) == before_pairs
+
+
+def test_duplicate_doc_ids_are_dropped_and_observed(spark, docs, tmp_path):
+    """Round-5 ADVICE (low): re-submitting an already-indexed id (even with
+    NEW text) must not append a second docs/bands copy — a union of shingle
+    sets would silently poison that id's exact-Jaccard verification."""
+    from ipl_dagster_pipeline_spark.metrics import observed_metrics
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    b1 = docs.filter(F.col("doc_id") < 100)
+    idx.add_batch(b1, batch_id="b1")
+    # batch 2 re-submits ids 50..99 with mutated text plus fresh ids 100..199
+    resub = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" MUTATED")))
+    )
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    p2 = idx.add_batch(resub.unionByName(fresh, allowMissingColumns=False).select("doc_id", "text"), batch_id="b2")
+    p2.count()
+    stored = idx.docs.read(spark)
+    assert stored.count() == 200  # one copy per id, originals win
+    assert stored.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # original text retained for the re-submitted range
+    orig_50 = docs.filter(F.col("doc_id") == 50).select("text").first()[0]
+    assert stored.filter(F.col("doc_id") == 50).select("text").first()[0] == orig_50
+    m = observed_metrics("incr_index_dup_ids")
+    vals = list(m.values())[-1]
+    assert vals["dropped_dup_ids"] == 50 and vals["batch_rows"] == 150
+    # and the index still equals a full recompute over the KEPT corpus
+    full = minhash_lsh_dedup(docs.filter(F.col("doc_id") < 200), threshold=0.5)
+    assert _pairs_set(idx.all_pairs(spark)) == _pairs_set(full)

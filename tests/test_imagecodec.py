@@ -190,3 +190,21 @@ def test_resize_images_real_pixels(real_media):
     assert (got[3].out_w, got[3].out_h) == (ow, oh)
     exp_hash = hashlib.md5(resize_nearest(a, ow, oh).tobytes()).hexdigest()
     assert got[3].resized_hash == exp_hash
+
+
+def test_resize_extreme_aspect_ratio_clamps_to_one_pixel(spark):
+    """Round-5 ADVICE: a 300x2 image fit within 96x96 would truncate the
+    short dim to 0 and hash zero pixels — the real branch clamps to >=1."""
+    import numpy as np
+
+    from ipl_dagster_pipeline_spark.operators.multimodal import resize_images
+
+    arr = (np.arange(2 * 300 * 3, dtype=np.uint64) * 37 % 251).astype(np.uint8).reshape(2, 300, 3)
+    df = spark.createDataFrame(
+        [(9, "image", bytearray(encode_ppm(arr)))],
+        "media_id long, media_type string, payload binary",
+    )
+    [r] = resize_images(df, target=(96, 96), fake=False).collect()
+    assert r.out_w == 96 and r.out_h == 1  # not 0
+    expected = resize_nearest(arr, 96, 1)
+    assert r.resized_hash == hashlib.md5(expected.tobytes()).hexdigest()

@@ -126,3 +126,21 @@ def test_cms_absent_key_and_empty_sketch(freq_vals, spark):
     empty = cms_sketch(freq_vals.limit(0), [], F.col("v"))
     [row0] = cms_estimate(empty, probe, "v").collect()
     assert row0["cms_est"] == 0
+
+
+def test_cms_grouped_sketch_probes_per_group(spark, freq_vals):
+    """Round-5 ADVICE: a sketch built WITH group columns must join the probe
+    on them too — mixing counters across groups can under-estimate, breaking
+    the est >= true guarantee."""
+    grouped = freq_vals.where(F.col("v").isNotNull()).withColumn(
+        "grp", (F.crc32(F.col("v")) % 2).cast("int")
+    )
+    sk = cms_sketch(grouped, ["grp"], F.col("v"))
+    exact = grouped.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(sk, exact, "v")
+    assert est.where(F.col("cms_est") < F.col("exact_cnt")).count() == 0
+    heavy = est.where(F.col("exact_cnt") >= 900).collect()
+    assert heavy and all(r["cms_est"] == r["exact_cnt"] for r in heavy)
+    # probing without the group column is refused loudly, never mixed
+    with pytest.raises(ValueError, match="grouped by"):
+        cms_estimate(sk, exact.drop("grp"), "v")

@@ -75,3 +75,30 @@ def test_stream_rejects_wrong_schema(spark, tmp_path):
     idx = MinHashIndex(str(tmp_path / "idx"))
     with pytest.raises(ValueError, match="lacks index column"):
         stream_dedup_index(spark, f"{inp}/*", idx, str(tmp_path / "ckpt"))
+
+
+def test_stream_starts_on_fresh_deployment_before_first_file(spark, docs, tmp_path):
+    """Round-5 ADVICE: on a fresh deployment the input dir has no files yet —
+    the query must still be startable (explicit schema, or fall back to the
+    index's docs table) and then absorb the first arrivals."""
+    import os
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    # empty dir + empty index + no schema -> loud error, not a cryptic crash
+    with pytest.raises(ValueError, match="schema"):
+        stream_dedup_index(spark, f"{inp}/*", idx, ckpt)
+    # explicit schema starts fine and drains nothing
+    q = stream_dedup_index(spark, f"{inp}/*", idx, ckpt, schema=docs.schema)
+    q.awaitTermination(60)
+    assert not q.isActive
+    assert idx.docs.current_snapshot_id() is None
+    # first file lands -> catch-up run indexes it
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{inp}/f1")
+    q2 = stream_dedup_index(spark, f"{inp}/*", idx, ckpt, schema=docs.schema)
+    q2.awaitTermination(120)
+    assert idx.docs.read(spark).count() == 100
+    # an index with docs can infer the schema itself even if files vanish
+    q3 = stream_dedup_index(spark, str(tmp_path / "in2") + "/*", idx, str(tmp_path / "ckpt2"))
+    q3.awaitTermination(60)
