@@ -2328,14 +2328,20 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregations → broadcast df-filter join → one rank
     window per doc."""
     docs = _read(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size folds into the plan as a broadcast 1-row agg (the house
+    # pattern, lm.py:143) — no separate docs.count() job per run
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias("t"),
     )
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    rare = df_counts.filter(F.col("df") * 5 < F.lit(n_docs))  # df < 20% of corpus
+    rare = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 5 < F.col("__n_docs"))  # df < 20% of corpus
+        .drop("__n_docs")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("t").asc())
     return (
         tf.join(F.broadcast(rare), "t")

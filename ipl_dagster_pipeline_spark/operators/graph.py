@@ -55,15 +55,27 @@ def connected_components(
     < 2^max_rounds thanks to pointer jumping, but the guard makes the
     failure loud instead of silently wrong).
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # symmetrize in ONE scan: a union of two selects over `edges` would make
+    # Spark compute the (possibly expensive, e.g. LSH + re-rank) upstream
+    # pipeline twice — explode both orientations from a single pass instead
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.s", "__e.d")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("v")).distinct().withColumn("comp", F.col("v"))
 
     comp_type = dict(labels.dtypes)["comp"]
     changed = 1
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # 1) neighbor-min messages ride the same shuffle as the re-aggregation.
         # Each vertex's OWN row carries its current label as __old (messages
         # carry null; max() recovers it through the agg), so convergence can
@@ -90,16 +102,30 @@ def connected_components(
             )
             .select("v", F.coalesce(F.col("__c2"), F.col("comp")).alias("comp"), "__old")
         )
-        obs = Observation()
-        new_labels = jumped.observe(
-            obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed")
-        ).select("v", "comp")
-        # one action per round: materialize + truncate lineage + convergence
-        # count, all from the same job
-        labels = new_labels.localCheckpoint(eager=True)
-        changed = int(obs.get.get("changed") or 0)
-        if changed == 0:
-            break
+        # Materialize (checkpoint + convergence count) every SECOND round:
+        # two propagation rounds fuse into one job, halving the fixed
+        # per-job overhead that dominates the loop locally (round-5 VERDICT
+        # #6).  Safe for convergence: labels only decrease, so "the latest
+        # round changed nothing" is a fixpoint regardless of what the
+        # previous round did; __old carries the label from the start of the
+        # LATEST round.  (Seeding labels with per-LSH-bucket minima was
+        # considered and REJECTED: bucket co-membership does not imply
+        # verified-pair connectivity — Jaccard/cosine verification filters
+        # bucket pairs — so a bucket-min seed can merge components that are
+        # not actually connected.)
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            obs = Observation()
+            new_labels = jumped.observe(
+                obs, F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed")
+            ).select("v", "comp")
+            # one action per fused round-pair: materialize + truncate lineage
+            # + convergence count, all from the same job
+            labels = new_labels.localCheckpoint(eager=True)
+            changed = int(obs.get.get("changed") or 0)
+            if changed == 0:
+                break
+        else:
+            labels = jumped.select("v", "comp")  # lazy — rides into next round
     if changed != 0:
         raise ComponentsNotConverged(
             f"connected_components did not converge within {max_rounds} rounds "
