@@ -6120,3 +6120,160 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B51_ALL_ORACLES_FN()
     out.update(_B52_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 53 (round 6): literal XML decode — the second half of SURVEY §2 S5.
+# The reference walks real DATEX II situation XML element-by-element
+# (pipeline/transformer/cifs.py:243-249,276-306: attribute ids, nested
+# restriction/lane elements, managed-cause references); until now the repo
+# proved the nested-payload pattern only on JSON.  Here the incident fixture
+# is rendered as a literal XML STRING column and decoded with Spark 4's
+# native from_xml (attributes via the `_` prefix, nested structs, missing
+# elements → NULL, malformed documents → all-NULL row in PERMISSIVE mode),
+# then fed through the exact cifs.py transform chain already gated by
+# incident_pipeline.  The oracle never parses XML: it derives the same
+# fields from first principles, so any from_xml mis-parse (lost attribute,
+# swallowed nested element, wrong NULL semantics) fails the value hash.
+# ---------------------------------------------------------------------------
+
+_XML_SITUATION_SCHEMA = (
+    "struct<_id: string, _type: string, "
+    "restriction: struct<laneStatus: string>, cause: struct<_ref: string>>"
+)
+
+
+def q_incident_xml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATEX-II-style XML decode → full incident transform chain.
+
+    Render each event as a situation document (id/type as ATTRIBUTES, lane
+    status as a NESTED element, managed cause as an attribute of an empty
+    element — the shapes cifs.py walks), with every 13th document truncated
+    mid-attribute.  from_xml decodes JVM-side (no Python in the loop);
+    malformed rows parse to NULL and are dropped before the chain, the
+    errors-become-NULL discipline of F1.  Scale: one projection, no shuffle
+    added over incident_pipeline's own joins.
+    """
+    ev = _read(spark, sf_dir, "events")
+    id_col = (
+        F.when(
+            ev.event_id % 5 == 0,
+            F.concat(F.lit("inc-"), ev.event_id.cast("string"), F.lit("-sperrung")),
+        )
+        .when(
+            ev.event_id % 5 == 1,
+            F.concat(F.lit("inc-"), (ev.event_id - 1).cast("string"), F.lit("-gegen-sperrung")),
+        )
+        .otherwise(F.concat(F.lit("inc-"), ev.event_id.cast("string")))
+    )
+    lane = F.element_at(
+        F.array(*[F.lit(x) for x in _LANES], F.lit(None).cast("string")),
+        (ev.event_id % 7 + 1).cast("int"),
+    )
+    cause = F.when(
+        ev.event_id % 11 == 0, F.concat(F.lit("inc-"), (ev.event_id + 2).cast("string"))
+    )
+    itype = F.element_at(F.array(*[F.lit(x) for x in _ITYPES]), (ev.event_id % 4 + 1).cast("int"))
+    doc = F.concat(
+        F.lit('<sit id="'), id_col, F.lit('" type="'), itype, F.lit('">'),
+        F.coalesce(
+            F.concat(F.lit("<restriction><laneStatus>"), lane, F.lit("</laneStatus></restriction>")),
+            F.lit("<restriction/>"),
+        ),
+        F.coalesce(F.concat(F.lit('<cause ref="'), cause, F.lit('"/>')), F.lit("")),
+        F.lit("</sit>"),
+    )
+    doc = F.when(ev.event_id % 13 == 0, F.lit('<sit id="broken')).otherwise(doc)
+    parsed = ev.select(F.from_xml(doc, _XML_SITUATION_SCHEMA).alias("p"))
+    base = parsed.select(
+        F.col("p._id").alias("id"),
+        F.col("p.restriction.laneStatus").alias("lane_status"),
+        F.col("p.cause._ref").alias("cause_ref"),
+        F.col("p._type").alias("itype"),
+    ).filter(F.col("id").isNotNull())  # malformed docs parsed to NULL → dropped
+    d = detect_direction(base)
+    d = skip_gegen_records(d)
+    d = drop_managed_causes(d)
+    mapped = incident_type(F.col("itype"))
+    return d.select(
+        "id",
+        "lane_status",
+        "direction",
+        mapped.alias("itype_mapped"),
+        incident_subtype(mapped).alias("isubtype"),
+    )
+
+
+# first-principles oracle: same field distributions, same chain, with the
+# malformed 13th documents excluded up front (they parse to NULL on Spark)
+SQL_INCIDENTS_XML = r"""
+WITH base AS (
+    SELECT CASE WHEN event_id % 5 = 0 THEN 'inc-' || CAST(event_id AS VARCHAR) || '-sperrung'
+                WHEN event_id % 5 = 1 THEN 'inc-' || CAST(event_id - 1 AS VARCHAR) || '-gegen-sperrung'
+                ELSE 'inc-' || CAST(event_id AS VARCHAR) END AS id,
+           (['s1', 'x1', '1x', 'u2w', '1', 'zz', NULL])[(event_id % 7) + 1] AS lane_status,
+           CASE WHEN event_id % 11 = 0 THEN 'inc-' || CAST(event_id + 2 AS VARCHAR) END AS cause_ref,
+           (['constructionWork', 'roadClosed', 'repairWork', 'other'])[(event_id % 4) + 1] AS itype
+    FROM events
+    WHERE event_id % 13 <> 0
+),
+gegen AS (
+    SELECT DISTINCT regexp_replace(id, '-gegen-', '-') AS sib FROM base WHERE id LIKE '%-gegen-%'
+),
+dirs AS (
+    SELECT b.*, g.sib IS NOT NULL AS has_gegen
+    FROM base b LEFT JOIN gegen g ON b.id = g.sib
+),
+d2 AS (
+    SELECT *,
+        CASE WHEN id LIKE '%-sperrung' AND id NOT LIKE '%-gegen-%'
+             THEN CASE WHEN has_gegen THEN 'BOTH_DIRECTIONS' ELSE 'ONE_DIRECTION' END
+             WHEN lane_status IS NOT NULL
+                  AND regexp_matches(lane_status, '^([sxui]*l?)?[suioewx]*(1|2)[suioewx]*(r?[xsoe]*)?$')
+             THEN CASE WHEN (length(regexp_extract(lane_status, '^([^12]*)', 1)) > 0
+                             AND length(regexp_replace(regexp_extract(lane_status, '^([^12]*)', 1),
+                                                       '[usl]', '', 'g')) > 0)
+                            OR length(regexp_replace(regexp_extract(lane_status, '^[^12]*[12]([^12]*)', 1),
+                                                     '[^uiw]', '', 'g')) > 0
+                  THEN 'BOTH_DIRECTIONS' ELSE 'ONE_DIRECTION' END
+             ELSE 'BOTH_DIRECTIONS' END AS direction
+    FROM dirs
+),
+nogegen AS (
+    SELECT * FROM d2 WHERE id NOT LIKE '%-gegen%'
+),
+filtered AS (
+    SELECT * FROM nogegen
+    WHERE id NOT IN (SELECT DISTINCT cause_ref FROM nogegen WHERE cause_ref IS NOT NULL)
+)
+SELECT id, lane_status, direction,
+       CASE WHEN itype IN ('constructionWork', 'newRoadworksLayout', 'repairWork') THEN 'CONSTRUCTION'
+            WHEN itype = 'roadClosed' THEN 'ROAD_CLOSED'
+            ELSE 'CONSTRUCTION' END AS itype_mapped,
+       CASE WHEN (CASE WHEN itype IN ('constructionWork', 'newRoadworksLayout', 'repairWork') THEN 'CONSTRUCTION'
+                       WHEN itype = 'roadClosed' THEN 'ROAD_CLOSED'
+                       ELSE 'CONSTRUCTION' END) = 'ROAD_CLOSED'
+            THEN 'ROAD_CLOSED_CONSTRUCTION' ELSE '' END AS isubtype
+FROM filtered
+"""
+
+_B52_ALL_QUERIES_FN = all_queries
+_B52_ALL_ORACLES_FN = all_oracle_sql
+
+_B53_QUERIES = {
+    "incident_xml_pipeline": q_incident_xml_pipeline,
+}
+_B53_ORACLES = {
+    "incident_xml_pipeline": SQL_INCIDENTS_XML,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B52_ALL_QUERIES_FN()
+    out.update(_B53_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B52_ALL_ORACLES_FN()
+    out.update(_B53_ORACLES)
+    return out

@@ -157,3 +157,39 @@ def test_latest_per_entity_as_of_now(spark):
     )
     rows = latest.collect()
     assert [(r.entity, r.payload) for r in rows] == [("cam1", "new"), ("cam2", "only")]
+
+
+def test_xml_situation_decode(spark):
+    """S5 second half: literal DATEX-II-style XML decode with Spark's native
+    from_xml (reference walks situation XML element-by-element,
+    pipeline/transformer/cifs.py:243-249,276-306).  Attributes arrive under
+    the `_` prefix, nested elements as structs, missing elements as NULL,
+    and a malformed document as an all-NULL row (PERMISSIVE) — the
+    errors-become-NULL discipline the pipeline relies on to drop bad docs."""
+    from __spark_entry__ import _XML_SITUATION_SCHEMA
+
+    rows = [
+        ('<sit id="inc-1-sperrung" type="roadClosed">'
+         "<restriction><laneStatus>s1</laneStatus></restriction>"
+         '<cause ref="inc-3"/></sit>',),
+        ('<sit id="inc-2" type="constructionWork"><restriction/></sit>',),
+        ('<sit id="inc-4" type="other"></sit>',),
+        ('<sit id="inc-5',),  # truncated mid-attribute
+    ]
+    parsed = (
+        spark.createDataFrame(rows, "xml string")
+        .select(F.from_xml("xml", _XML_SITUATION_SCHEMA).alias("p"))
+        .select(
+            F.col("p._id").alias("id"),
+            F.col("p.restriction.laneStatus").alias("lane"),
+            F.col("p.cause._ref").alias("cause_ref"),
+            F.col("p._type").alias("itype"),
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in parsed] == [
+        ("inc-1-sperrung", "s1", "inc-3", "roadClosed"),
+        ("inc-2", None, None, "constructionWork"),
+        ("inc-4", None, None, "other"),
+        (None, None, None, None),
+    ]
