@@ -22,6 +22,12 @@ from .io import SnapshotTable
 from .metrics import append_lineage, partition_lineage
 
 
+class ExternalStageTimeout(RuntimeError):
+    """An external stage attempt exceeded its max runtime (the stuck-run
+    condition the reference's reaper terminates,
+    scripts/terminate_starting_and_started_runs.py:126-150)."""
+
+
 class CheckpointedPipeline:
     """Registry of named stages over a checkpoint root directory.
 
@@ -78,9 +84,10 @@ class CheckpointedPipeline:
     def external_stage(
         self,
         name: str,
-        fn: Callable[[str], dict],
+        fn: Callable[..., dict],
         max_attempts: int = 3,
         emit_lineage: bool = True,
+        timeout_sec: float | None = None,
     ) -> dict:
         """Supervise a NON-Spark stage under the same checkpoint registry
         (SURVEY §2 S10).
@@ -100,6 +107,20 @@ class CheckpointedPipeline:
           the commit point, exactly like ``SnapshotTable.commit``
         * an exception inside ``fn`` retries up to ``max_attempts`` with a
           fresh scratch dir; exhaustion re-raises the last error
+        * ``timeout_sec`` bounds each attempt's runtime (the reference bounds
+          every run: start timeout 180 s / max runtime 6 h,
+          dagster.docker.yaml:16-25, plus a stuck-run reaper,
+          scripts/terminate_starting_and_started_runs.py:126-150).  A
+          timed-out attempt counts as a failed attempt.  Cancellation is
+          cooperative: if ``fn`` accepts a second parameter it receives a
+          ``threading.Event`` that is set on timeout so well-behaved work can
+          exit early; a truly hung callable is ABANDONED on its thread —
+          every attempt gets a private scratch dir, so an abandoned zombie
+          can never corrupt a later attempt's output or the publish
+        * exhaustion (errors or timeouts) appends a FAILURE row to
+          ``_lineage`` (snapshot_id=-1, row_count=-1) before re-raising, so
+          supervision is visible in K6 reconciliation; no manifest is
+          written, so the next run resumes cleanly into a new version
         * a crash after the output rename but before the manifest write
           leaves an orphan versioned dir; the next run re-runs ``fn`` into a
           NEW version and commits that — readers only ever follow the
@@ -121,6 +142,15 @@ class CheckpointedPipeline:
             with open(manifest_path) as f:
                 return json.load(f)
 
+        import inspect
+        import threading
+
+        # reap scratch left by a crashed PREVIOUS process (never this one's —
+        # an abandoned timed-out thread may still be writing to its own dir)
+        for d in os.listdir(stage_root):
+            if d.startswith("_scratch_"):
+                shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+
         existing = [
             int(d.split("_v")[1])
             for d in os.listdir(stage_root)
@@ -128,19 +158,62 @@ class CheckpointedPipeline:
         ]
         version = max(existing, default=0) + 1
         out_dir = os.path.join(stage_root, f"ext_v{version}")
-        scratch = os.path.join(stage_root, f"_scratch_v{version}")
+
+        # cooperative cancel: fn(work_dir, cancel_event) if it takes 2 args
+        try:
+            wants_cancel = len(inspect.signature(fn).parameters) >= 2
+        except (TypeError, ValueError):
+            wants_cancel = False
+
+        def run_attempt(scratch: str) -> dict:
+            if timeout_sec is None:
+                return (fn(scratch, threading.Event()) if wants_cancel else fn(scratch)) or {}
+            cancel = threading.Event()
+            box: dict = {}
+
+            def target() -> None:
+                try:
+                    box["meta"] = (fn(scratch, cancel) if wants_cancel else fn(scratch)) or {}
+                except Exception as err:  # noqa: BLE001 — propagated below
+                    box["err"] = err
+
+            t = threading.Thread(target=target, name=f"ext-{name}", daemon=True)
+            t.start()
+            t.join(timeout_sec)
+            if t.is_alive():
+                cancel.set()  # cooperative callables exit; hung ones are abandoned
+                raise ExternalStageTimeout(
+                    f"external stage {name!r} attempt exceeded {timeout_sec}s"
+                )
+            if "err" in box:
+                raise box["err"]
+            return box["meta"]
 
         last_err: Exception | None = None
+        scratch = ""
         for attempt in range(1, max_attempts + 1):
+            scratch = os.path.join(stage_root, f"_scratch_v{version}_a{attempt}")
             shutil.rmtree(scratch, ignore_errors=True)
             os.makedirs(scratch)
             try:
-                meta = fn(scratch) or {}
+                meta = run_attempt(scratch)
                 break
             except Exception as err:  # supervised retry, never a silent skip
                 last_err = err
+                if not isinstance(err, ExternalStageTimeout):
+                    # safe to reap: the attempt finished (no zombie writer);
+                    # a timed-out attempt's dir is left for its abandoned
+                    # thread and reaped by the next process (see above)
+                    shutil.rmtree(scratch, ignore_errors=True)
         else:
-            shutil.rmtree(scratch, ignore_errors=True)
+            if emit_lineage:  # failure visible to K6 reconciliation
+                failure = self.spark.createDataFrame(
+                    [(name, -1, -1, -1, 0)],
+                    "stage string, snapshot_id long, partition_id int, row_count long, checksum long",
+                )
+                from pyspark.sql import functions as F
+
+                append_lineage(failure.withColumn("committed_at", F.current_timestamp()), self.lineage_path)
             raise RuntimeError(
                 f"external stage {name!r} failed after {max_attempts} attempts"
             ) from last_err

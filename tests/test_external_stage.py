@@ -102,3 +102,82 @@ def test_external_stage_force_recomputes(spark, tmp_path):
     CheckpointedPipeline(spark, root).external_stage("imp", _importer(calls))
     m = CheckpointedPipeline(spark, root, force=True).external_stage("imp", _importer(calls))
     assert len(calls) == 2 and m["version"] == 2
+
+
+def test_external_stage_timeout_reaps_hung_callable(spark, tmp_path):
+    """Run supervision (reference: 6h max runtime + stuck-run reaper,
+    dagster.docker.yaml:16-25, terminate_starting_and_started_runs.py):
+    a hung callable times out per attempt, exhaustion records a FAILURE
+    lineage row and raises, and a re-run resumes cleanly."""
+    import threading
+
+    from ipl_dagster_pipeline_spark.checkpoint import ExternalStageTimeout
+
+    pipe = CheckpointedPipeline(spark, str(tmp_path / "ckpt"))
+    cancels_seen: list = []
+
+    def hung(work_dir: str, cancel: threading.Event) -> dict:
+        # cooperative: waits forever unless the supervisor cancels it
+        cancel.wait(timeout=60)
+        cancels_seen.append(cancel.is_set())
+        raise RuntimeError("should have been cancelled long before 60s")
+
+    with pytest.raises(RuntimeError, match="failed after 2 attempts") as ei:
+        pipe.external_stage("stuck_import", hung, max_attempts=2, timeout_sec=0.3)
+    assert isinstance(ei.value.__cause__, ExternalStageTimeout)
+    assert not pipe.is_committed("stuck_import")
+
+    # failure is visible in lineage (snapshot_id=-1, row_count=-1)
+    rows = spark.read.parquet(pipe.lineage_path).filter("stage = 'stuck_import'").collect()
+    assert len(rows) == 1 and rows[0].snapshot_id == -1 and rows[0].row_count == -1
+
+    # the cancel event reached the (cooperative) zombie threads
+    import time
+
+    deadline = time.monotonic() + 5
+    while len(cancels_seen) < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert cancels_seen == [True, True]
+
+    # re-run with healthy work resumes cleanly into a fresh version
+    calls: list = []
+    m = pipe.external_stage("stuck_import", _importer(calls), timeout_sec=30)
+    assert m["version"] >= 1 and len(calls) == 1 and pipe.is_committed("stuck_import")
+    assert os.path.exists(os.path.join(m["path"], "stops.txt"))
+
+
+def test_external_stage_timeout_then_success_counts_attempts(spark, tmp_path):
+    """A timed-out first attempt is a failed attempt; the second succeeds in
+    ITS OWN scratch dir (the abandoned attempt can't corrupt the publish)."""
+    import time
+
+    pipe = CheckpointedPipeline(spark, str(tmp_path / "ckpt"))
+    n = {"calls": 0}
+
+    def slow_then_fast(work_dir: str) -> dict:
+        n["calls"] += 1
+        if n["calls"] == 1:
+            time.sleep(2.0)  # blows the 0.3s budget, ignores cancellation
+            return {"rows": 99}
+        with open(os.path.join(work_dir, "out.bin"), "wb") as f:
+            f.write(b"ok")
+        return {"rows": 1}
+
+    m = pipe.external_stage("slow_feed", slow_then_fast, max_attempts=3, timeout_sec=0.3)
+    assert m["attempts"] == 2 and m["meta"]["rows"] == 1
+    assert os.path.exists(os.path.join(m["path"], "out.bin"))
+
+
+def test_external_stage_stale_scratch_reaped_on_rerun(spark, tmp_path):
+    """Scratch dirs from a crashed previous PROCESS are removed at stage
+    start; committed outputs are untouched."""
+    root = tmp_path / "ckpt"
+    pipe = CheckpointedPipeline(spark, str(root))
+    stage_root = root / "feed"
+    (stage_root / "_scratch_v1_a1").mkdir(parents=True)
+    (stage_root / "_scratch_v1_a1" / "partial.bin").write_bytes(b"junk")
+
+    calls: list = []
+    m = pipe.external_stage("feed", _importer(calls))
+    assert m["version"] == 1 and len(calls) == 1
+    assert not (stage_root / "_scratch_v1_a1").exists()
