@@ -180,3 +180,79 @@ def test_trainer_prep_job_resume_and_frozen_fits(spark, monkeypatch, tmp_path):
     # class cap binds per class
     bal = pipe2.table("balanced").read(spark)
     assert bal.groupBy("event_type").count().agg(F.max("count")).collect()[0][0] <= 50
+
+
+def test_pretrain_prep_mega_job_kill_resume(spark, monkeypatch, tmp_path):
+    """The whole-asset-graph analog (reference pipeline/__init__.py:26-58)
+    as ONE checkpointed run: kill it twice mid-pipeline — once BETWEEN the
+    dedup index's internal batches, once at the budget stage — and assert
+    each rerun resumes without recomputing committed work, the replayed
+    index batch is a no-op, and the final tables match a clean
+    never-killed run stage-for-stage."""
+    import jobs.pretrain_prep as job
+
+    out = str(tmp_path / "pp")
+    clean_out = str(tmp_path / "pp_clean")
+
+    def run(target: str) -> None:
+        monkeypatch.setattr(
+            sys, "argv",
+            ["pretrain_prep.py", "--input", "/root/testdata/sf0.001",
+             "--output", target, "--token-budget", "2000", "--shards", "4"],
+        )
+        job.main()
+
+    # -- kill #1: inside the index stage, between batch b_even and b_odd --
+    from ipl_dagster_pipeline_spark.operators.dedup_index import MinHashIndex
+
+    real_add = MinHashIndex.add_batch
+    calls = {"n": 0}
+
+    def add_then_die(self, batch, batch_id, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed between index batches")
+        return real_add(self, batch, batch_id, **kw)
+
+    monkeypatch.setattr(MinHashIndex, "add_batch", add_then_die)
+    try:
+        run(out)
+        raise AssertionError("expected the injected kill")
+    except RuntimeError as e:
+        assert "killed between index batches" in str(e)
+    monkeypatch.setattr(MinHashIndex, "add_batch", real_add)
+
+    # -- kill #2: at the budget stage (everything upstream now commits) ---
+    real_budget = job.token_budget_select
+
+    def budget_dies(*a, **kw):
+        raise RuntimeError("killed at budget stage")
+
+    monkeypatch.setattr(job, "token_budget_select", budget_dies)
+    try:
+        run(out)
+        raise AssertionError("expected the injected kill")
+    except RuntimeError as e:
+        assert "killed at budget stage" in str(e)
+
+    pipe = CheckpointedPipeline(spark, out)
+    committed = pipe.completed_stages()
+    assert "curated" in committed and "budget" not in committed
+    snap_before = {s: pipe.table(s).current_snapshot_id() for s in committed}
+    pairs_before = pipe.table("index_pairs").read(spark).count()
+
+    # -- resume: completes, nothing committed is recomputed ---------------
+    monkeypatch.setattr(job, "token_budget_select", real_budget)
+    run(out)
+    for s, snap in snap_before.items():
+        assert pipe.table(s).current_snapshot_id() == snap, f"{s} was recomputed"
+    assert pipe.table("index_pairs").read(spark).count() == pairs_before
+
+    # -- clean never-killed run matches stage-for-stage -------------------
+    run(clean_out)
+    clean = CheckpointedPipeline(spark, clean_out)
+    assert clean.completed_stages() == pipe.completed_stages()
+    for s in clean.completed_stages():
+        a = total_from_lineage(spark, pipe.lineage_path, s)
+        b = total_from_lineage(spark, clean.lineage_path, s)
+        assert a == b, f"stage {s}: killed-run {a} != clean-run {b}"
