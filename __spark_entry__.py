@@ -2756,6 +2756,53 @@ DRIVER_QUERY_ORDER = [
     # core), doc_temperature_sample ↔ doc_weighted_sample (same hash
     # keep-probability), event_skew_profile ↔ salted_agg_by_conv +
     # event_hll_users (distribution metrics over the same agg shapes). ---
+    # --- round-6 rotation #3: every capability class has now been gated at
+    # least once.  The 15 round-5 catalog-only classes plus the new literal
+    # XML decode take the hard driver rows; the 16 demoted entries stay
+    # --all-checked and their capabilities remain gated transitively:
+    # incident_pipeline's full cifs chain runs VERBATIM inside
+    # incident_xml_pipeline (which adds the from_xml decode in front);
+    # doc_bm25's df-rank + integer rarity weighting is doc_tfidf_vectors and
+    # its per-term max(CASE) pivot shape is event_feature_vectors' one_hot;
+    # doc_length_histogram's integer binning is event_quantile_bins;
+    # doc_weighted_sample's hash keep-probability is doc_temperature_sample
+    # (same split_bucket core, temperature-weighted); turn_context_windows'
+    # lag/lead context collection is rich_features' fused window pass +
+    # doc_token_chunks' sliding windows; dim_scd2_history's interval
+    # construction feeds (and is probed by) the gated dim_pit_enrich +
+    # dim_merge_upsert; events_rollup_daily's agg family is
+    # session_aggregates + event_class_balance; doc_pii_redact's regex
+    # substitution is incident_xml_pipeline's F5 rules; media_sample_frames'
+    # grouped mapInPandas shape is media_suite; doc_contamination's k-gram
+    # hash semi-join is doc_ngram_jaccard's inverted index (and runs e2e in
+    # jobs/pretrain_prep.py); doc_pack_sequences' global prefix sum is
+    # doc_bpe_token_budget's budget walk; user_event_stats' distinct-group +
+    # latest-per-group is dedup_turns + media_suite's max_by;
+    # prefer_first_lang's preference-order lookup is scalar_suite's coalesce
+    # defaults + the F9 map-lookup inside incident_xml_pipeline;
+    # doc_textstats' score columns are consumed and re-checked by
+    # doc_length_outliers + doc_lm_surprisal; emb_near_dup_lsh's hyperplane
+    # bucket join + exact re-rank is emb_ivf_topk_oracle (ANN value-hash)
+    # and feeds the gated emb_dup_components; event_funnel's ordered-stage
+    # windows are event_target_encode's strictly-earlier expanding frames +
+    # rich_features' lag/lead. ---
+    "incident_xml_pipeline",
+    "doc_containment_pairs",
+    "source_unigram_kl",
+    "doc_pmi_collocations",
+    "event_cms_user_counts",
+    "event_skew_profile",
+    "event_hash_cross",
+    "event_feature_correlations",
+    "event_type_hour_mi",
+    "doc_negative_pairs",
+    "event_value_psi",
+    "event_class_balance",
+    "event_imputed_clipped",
+    "event_feature_melt",
+    "doc_temperature_sample",
+    "geo_route_lengths",
+    # --- round-5 rotation rows retained ---
     "event_feature_vectors",
     "event_quantile_bins",
     "event_count_encoding",
@@ -2770,26 +2817,14 @@ DRIVER_QUERY_ORDER = [
     "event_rolling_quantiles",
     "doc_bpe_token_budget",
     "doc_incr_index_probe",
-    "doc_bm25",
     "doc_length_outliers",
-    "doc_length_histogram",
-    "event_funnel",
-    "doc_weighted_sample",
     "doc_prefix_editdist",
-    "turn_context_windows",
-    "dim_scd2_history",
     # --- round-3/4 rows retained ---
     "emb_ivf_topk_oracle",
     "dim_pit_enrich",
     "dim_merge_upsert",
     "doc_ngram_jaccard",
-    "events_rollup_daily",
     "emb_dup_components",
-    "doc_pii_redact",
-    "doc_contamination",
-    "doc_pack_sequences",
-    "media_sample_frames",
-    "incident_pipeline",
     # --- flagship + windowed features ---
     "flagship_features",
     "rich_features",
@@ -2805,12 +2840,8 @@ DRIVER_QUERY_ORDER = [
     # --- relational core ---
     "join_filters",
     "salted_agg_by_conv",
-    "user_event_stats",
-    "prefer_first_lang",
     # --- documents / embeddings ---
-    "doc_textstats",
     "doc_minhash_lsh_pairs",
-    "emb_near_dup_lsh",
     "media_suite",
 ]
 

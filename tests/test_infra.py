@@ -219,32 +219,26 @@ def test_driver_contract_consistency():
     assert set(qs) - set(oracles) == set()  # 50/50 fully value-hashed
     assert len(qs) == 50 and len(oracles) == 50
     assert list(qs) == em.DRIVER_QUERY_ORDER
-    # round-5 rotation #2: the late-round-5 capability classes (fit/transform
-    # family, PIT encoding, decay, sketches, iterative graph, LM scoring,
-    # geo, rolling order statistics) lead the gate; rotation #1's ten follow
-    assert list(qs)[:22] == [
-        "event_feature_vectors",
-        "event_quantile_bins",
-        "event_count_encoding",
-        "doc_tfidf_vectors",
-        "doc_token_chunks",
-        "event_target_encode",
-        "event_decayed_features",
-        "event_hll_users",
-        "event_pagerank",
-        "doc_lm_surprisal",
-        "geo_station_proximity",
-        "event_rolling_quantiles",
-        "doc_bpe_token_budget",
-        "doc_incr_index_probe",
-        "doc_bm25",
-        "doc_length_outliers",
-        "doc_length_histogram",
-        "event_funnel",
-        "doc_weighted_sample",
-        "doc_prefix_editdist",
-        "turn_context_windows",
-        "dim_scd2_history",
+    # round-6 rotation #3: the 15 round-5 catalog-only classes plus the new
+    # literal XML decode lead the gate — with this rotation every capability
+    # class has been gated at least once
+    assert list(qs)[:16] == [
+        "incident_xml_pipeline",
+        "doc_containment_pairs",
+        "source_unigram_kl",
+        "doc_pmi_collocations",
+        "event_cms_user_counts",
+        "event_skew_profile",
+        "event_hash_cross",
+        "event_feature_correlations",
+        "event_type_hour_mi",
+        "doc_negative_pairs",
+        "event_value_psi",
+        "event_class_balance",
+        "event_imputed_clipped",
+        "event_feature_melt",
+        "doc_temperature_sample",
+        "geo_route_lengths",
     ]
     # every demotion (rounds 4+5, both round-5 rotations) stays
     # catalog-checked (--all), and its capability remains transitively
@@ -259,6 +253,12 @@ def test_driver_contract_consistency():
         "doc_winnow_fingerprints", "doc_collapse_repeats", "explode_default_record",
         "union_entities", "q5_revenue_enriched", "doc_exact_dedup", "doc_simhash",
         "lag_lead_features", "rolling_features",
+        # rotation #3 demotions (round 6)
+        "incident_pipeline", "doc_bm25", "doc_length_histogram",
+        "doc_weighted_sample", "turn_context_windows", "dim_scd2_history",
+        "events_rollup_daily", "doc_pii_redact", "media_sample_frames",
+        "doc_contamination", "doc_pack_sequences", "user_event_stats",
+        "prefer_first_lang", "doc_textstats", "emb_near_dup_lsh", "event_funnel",
     ):
         assert demoted not in qs and demoted in em.all_queries() and demoted in em.all_oracle_sql()
     # every merged-away original is still runnable via the full catalog
