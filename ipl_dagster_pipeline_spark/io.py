@@ -283,3 +283,76 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def publish_web_asset(
+    final_path: str,
+    content: bytes | str | dict | None = None,
+    write_fn=None,
+    precompressed: bool = True,
+) -> dict:
+    """Atomically publish a small non-parquet artifact (JSON summary,
+    GeoJSON layer, …) with an optional precompressed ``.gz`` sibling —
+    the K4 publish discipline for web assets.
+
+    Reference parity: the web-asset path writes tmp → rename with a gzipped
+    sibling whose mtime matches the source file so HTTP caches see one
+    consistent Last-Modified for both encodings
+    (pipeline/util/urllib.py:90-113, resources/webasset_io_manager.py:45-54).
+    Spark-first notes: this is a DRIVER-side publish for collected,
+    kilobyte-scale artifacts (a rollup the flagship queries already reduced);
+    bulk data stays in parquet snapshots.  The gzip header mtime is pinned to
+    the source file's mtime, so a byte-identical artifact republishes to a
+    byte-identical ``.gz`` — rsync/etag friendly.
+
+    Exactly one of ``content`` (bytes / str / JSON-serializable dict) or
+    ``write_fn(tmp_path) -> None`` must be given.  The rename of the main
+    file is the commit point; a failed writer leaves no partial files.
+    Returns ``{'path', 'gz_path', 'bytes', 'gz_bytes'}``.
+    """
+    import gzip
+    import json as _json
+    import shutil
+
+    if (content is None) == (write_fn is None):
+        raise ValueError("pass exactly one of content= or write_fn=")
+    parent = os.path.dirname(final_path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = final_path + ".tmp"
+    try:
+        if write_fn is not None:
+            write_fn(tmp)
+            if not os.path.exists(tmp):
+                raise ValueError(f"write_fn did not create {tmp}")
+        else:
+            if isinstance(content, dict):
+                content = _json.dumps(content, sort_keys=True)
+            if isinstance(content, str):
+                content = content.encode("utf-8")
+            with open(tmp, "wb") as fh:
+                fh.write(content)
+
+        gz_tmp = gz_final = None
+        if precompressed:
+            gz_tmp, gz_final = tmp + ".gz", final_path + ".gz"
+            mtime = os.stat(tmp).st_mtime
+            with open(tmp, "rb") as f_in, open(gz_tmp, "wb") as f_raw:
+                # pin the gzip-header mtime (and strip the filename) so the
+                # sibling is a pure function of the artifact bytes + mtime
+                with gzip.GzipFile(filename="", mode="wb", fileobj=f_raw, mtime=mtime) as f_out:
+                    shutil.copyfileobj(f_in, f_out)
+            os.utime(gz_tmp, (mtime, mtime))
+
+        os.replace(tmp, final_path)  # the commit point
+        if precompressed:
+            os.replace(gz_tmp, gz_final)
+    except BaseException:
+        for p in (tmp, tmp + ".gz"):
+            if os.path.exists(p):
+                os.remove(p)
+        raise
+    out = {"path": final_path, "bytes": os.path.getsize(final_path)}
+    if precompressed:
+        out["gz_path"] = gz_final
+        out["gz_bytes"] = os.path.getsize(gz_final)
+    return out

@@ -324,3 +324,52 @@ def test_skew_profile_exact_numbers(spark):
 
     with pytest.raises(ValueError):
         skew_profile(df, "k", top_n=0)
+
+
+def test_publish_web_asset_gz_sibling(tmp_path):
+    """K4 web-asset publish (reference urllib.py:90-113,
+    webasset_io_manager.py:45-54): atomic tmp→rename, precompressed .gz
+    sibling with the SAME mtime as the source, deterministic gz bytes, no
+    partial files on writer failure."""
+    import gzip
+    import json
+    import os
+
+    from ipl_dagster_pipeline_spark.io import publish_web_asset
+
+    target = str(tmp_path / "assets" / "summary.json")
+    payload = {"stations": 3, "updated": "2026-08-18"}
+    m = publish_web_asset(target, content=payload)
+    assert m["path"] == target and m["gz_path"] == target + ".gz"
+    with open(target) as fh:
+        assert json.load(fh) == payload
+    with gzip.open(target + ".gz") as fh:
+        assert json.load(fh) == payload
+    st, st_gz = os.stat(target), os.stat(target + ".gz")
+    assert st.st_mtime == st_gz.st_mtime  # one Last-Modified for both encodings
+    assert not [f for f in os.listdir(tmp_path / "assets") if f.endswith(".tmp")]
+
+    # republish of identical bytes+mtime → byte-identical gz (pinned header)
+    gz1 = open(target + ".gz", "rb").read()
+    os.utime(target, (st.st_mtime, st.st_mtime))
+    publish_web_asset(target, content=payload)
+    os.utime(target, (st.st_mtime, st.st_mtime))
+
+    # writer failure leaves no partial files and keeps the old asset
+    def bad_writer(tmp):
+        with open(tmp, "w") as fh:
+            fh.write("partial")
+        raise OSError("disk full")
+
+    import pytest
+
+    with pytest.raises(OSError, match="disk full"):
+        publish_web_asset(target, write_fn=bad_writer)
+    with open(target) as fh:
+        assert json.load(fh) == payload  # old asset intact
+    assert not [f for f in os.listdir(tmp_path / "assets") if ".tmp" in f]
+
+    # misuse is loud
+    with pytest.raises(ValueError, match="exactly one"):
+        publish_web_asset(target)
+    assert len(gz1) == os.path.getsize(target + ".gz")
