@@ -6308,3 +6308,249 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B52_ALL_ORACLES_FN()
     out.update(_B53_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 54 (round 6): mergeable quantile sketch — deterministic base-2
+# log-histogram (operators/sketches.py).  Exact rank quantiles shuffle every
+# value; the 100 TB monitoring path is a sketch whose buckets are pure
+# integer functions of the value (milli-units, bitlength via bin(), shifts),
+# so partials combine map-side and UNION of inputs == merge of sketches
+# (tested).  Bucket math is BIGINT-only — no log()/pow() cross-engine
+# edge-rounding hazard — so both the register frame and the quantile reads
+# value-hash against the DuckDB replay.  Catalog-only (gate stays at 50).
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.sketches import (
+    loghist_quantiles,
+    loghist_sketch,
+)
+
+
+def q_event_value_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch itself: (event_type, bound, cnt) — one map-side-combined
+    aggregation, ≤ a few hundred rows per group at ANY input size."""
+    ev = _read(spark, sf_dir, "events")
+    return loghist_sketch(ev, "value", ["event_type"])
+
+
+def q_event_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 per event_type read off the sketch: cumulative walk over
+    the tiny register frame (window over the sketch, never the data); pure
+    BIGINT rank comparison 100·cum > (n−1)·p — no division anywhere."""
+    ev = _read(spark, sf_dir, "events")
+    sk = loghist_sketch(ev, "value", ["event_type"])
+    return loghist_quantiles(sk, {"p50": 50, "p95": 95, "p99": 99}, ["event_type"])
+
+
+SQL_VALUE_SKETCH = """
+WITH m AS (
+    SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS m
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT event_type, m,
+           greatest(length(bin(abs(m))) - 4, 0) AS sh
+    FROM m
+),
+b AS (
+    SELECT event_type,
+           CASE WHEN m < 0 THEN -((abs(m) >> sh) << sh)
+                ELSE (abs(m) >> sh) << sh END AS bound
+    FROM s
+)
+SELECT event_type, bound, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY event_type, bound
+"""
+
+SQL_SKETCH_QUANTILES = """
+WITH m AS (
+    SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS m
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT event_type, m, greatest(length(bin(abs(m))) - 4, 0) AS sh FROM m
+),
+sk AS (
+    SELECT event_type,
+           CASE WHEN m < 0 THEN -((abs(m) >> sh) << sh)
+                ELSE (abs(m) >> sh) << sh END AS bound,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM s GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, bound, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bound) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+    FROM sk
+)
+SELECT event_type,
+       min(CASE WHEN cum * 100 > (n - 1) * 50 THEN bound END) AS q_p50,
+       min(CASE WHEN cum * 100 > (n - 1) * 95 THEN bound END) AS q_p95,
+       min(CASE WHEN cum * 100 > (n - 1) * 99 THEN bound END) AS q_p99
+FROM c GROUP BY event_type
+"""
+
+_B53_ALL_QUERIES_FN = all_queries
+_B53_ALL_ORACLES_FN = all_oracle_sql
+
+_B54_QUERIES = {
+    "event_value_sketch": q_event_value_sketch,
+    "event_sketch_quantiles": q_event_sketch_quantiles,
+}
+_B54_ORACLES = {
+    "event_value_sketch": SQL_VALUE_SKETCH,
+    "event_sketch_quantiles": SQL_SKETCH_QUANTILES,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B53_ALL_QUERIES_FN()
+    out.update(_B54_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B53_ALL_ORACLES_FN()
+    out.update(_B54_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 55 (round 6): ANN recall@k observability — the metric an operator of
+# the 100 TB similarity path actually watches.  Exact brute-force top-k is
+# the truth set; the pinned-quantizer IVF path is the candidate; recall is
+# the per-query overlap.  Both halves are individually value-hashed rows
+# already (emb_cosine_topk, emb_ivf_topk_oracle); this row composes them so
+# a quantizer/probe regression shows up as a recall drop, not just a hash
+# mismatch.  Set-intersection semantics — rank ties cannot flake the count.
+# ---------------------------------------------------------------------------
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the pinned IVF ANN vs exact brute force, per query:
+    (query_id, n_hits, k).  Both sides bucket/probe exactly as their gated
+    rows do; the join is a tiny left-semi per query — never all-pairs."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = list(range(_IVP_NQ))
+    ivf = ivf_topk_pinned(
+        emb, query_ids=qids, k=_IVP_K,
+        n_clusters=_IVP_NC, n_probe=_IVP_NP, seed=_IVP_SEED,
+    ).select("query_id", "neighbor_id")
+    bf = cosine_topk_bruteforce(emb, query_ids=qids, k=_IVP_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(_IVP_K).cast("int").alias("k"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH ivf AS ({SQL_IVF_TOPK}),
+     bf AS ({SQL_COSINE_TOPK})
+SELECT bf.query_id,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({_IVP_K} AS INTEGER) AS k
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+_B54_ALL_QUERIES_FN = all_queries
+_B54_ALL_ORACLES_FN = all_oracle_sql
+
+_B55_QUERIES = {"emb_ann_recall": q_emb_ann_recall}
+_B55_ORACLES = {"emb_ann_recall": SQL_ANN_RECALL}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B54_ALL_QUERIES_FN()
+    out.update(_B55_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B54_ALL_ORACLES_FN()
+    out.update(_B55_ORACLES)
+    return out
+
+# ---------------------------------------------------------------------------
+# batch 56 (round 6): fuzzy eval-set decontamination — the near-duplicate
+# complement of doc_contamination's exact k-gram probe.  A paraphrased or
+# lightly-edited benchmark leak has no 30-gram in common with the eval set;
+# MinHash-banded Jaccard at the dedup threshold catches it.  Benchmark bands
+# broadcast; candidates come from the (band, bucket) equi-join — never
+# all-pairs (operators/cleaning.py:fuzzy_contamination_pairs).
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.cleaning import fuzzy_contamination_pairs
+
+
+def q_doc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bench_id, jaccard) pairs where a corpus doc (doc_id % 97 ≠ 0)
+    is shingle-Jaccard ≥ 0.5 similar to a benchmark doc (doc_id % 97 = 0) —
+    the same deterministic split jobs/pretrain_prep.py decontaminates."""
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy_contamination_pairs(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        threshold=0.5,
+    )
+
+
+SQL_FUZZY_CONTAMINATION = f"""
+WITH {SHINGLE_CTE.strip()},
+mhb AS (SELECT doc_id, {_MH_BASE} AS base FROM sh),
+mh AS (SELECT doc_id, {_MH_MINS} FROM mhb GROUP BY doc_id),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT i.doc_a AS doc_id, i.doc_b AS bench_id,
+       round(i.n_inter / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE i.n_inter / (ca.n + cb.n - i.n_inter) >= 0.5
+"""
+
+_B55_ALL_QUERIES_FN = all_queries
+_B55_ALL_ORACLES_FN = all_oracle_sql
+
+_B56_QUERIES = {"doc_fuzzy_contamination": q_doc_fuzzy_contamination}
+_B56_ORACLES = {"doc_fuzzy_contamination": SQL_FUZZY_CONTAMINATION}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B55_ALL_QUERIES_FN()
+    out.update(_B56_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B55_ALL_ORACLES_FN()
+    out.update(_B56_ORACLES)
+    return out

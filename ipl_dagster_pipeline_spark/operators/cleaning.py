@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from .text_dedup import normalize_text, portable_hash
 
 # RE2-compatible (works in Spark's Java regex AND DuckDB's RE2): no
@@ -178,4 +179,50 @@ def contamination_flags(
     )
     return docs.select(id_col).distinct().join(hits, on=id_col, how="left").select(
         id_col, F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
+    )
+
+
+def fuzzy_contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate eval-set decontamination: corpus docs whose shingle
+    set is Jaccard-≥-threshold similar to ANY benchmark doc — the fuzzy
+    complement of :func:`contamination_flags` (which only catches exact
+    k-gram overlap; a paraphrased or lightly-edited benchmark leak slips
+    past it).
+
+    Shape at 100 TB: MinHash bands are computed for both sides (one
+    map-side-combined agg each), the BENCHMARK band table is tiny and
+    broadcasts, candidates come from the (band, bucket) equi-join — never
+    corpus×corpus, never corpus×benchmark all-pairs — and exact Jaccard
+    verification touches only candidate shingles.  ids of the two frames
+    must be disjoint (they come from the same table split in practice).
+
+    Returns ``(doc_id, bench_id, jaccard)`` — one row per contaminated
+    (corpus, benchmark) pair at ≥ threshold.
+    """
+    from .text_dedup import band_rows, jaccard_pairs, minhash_signatures, shingles
+
+    sh_c = tracked_persist(shingles(docs, id_col, text_col, k))
+    sh_b = tracked_persist(shingles(benchmark, id_col, text_col, k))
+    bands_c = band_rows(minhash_signatures(sh_c, id_col), id_col)
+    bands_b = band_rows(minhash_signatures(sh_b, id_col), id_col)
+    cand = (
+        bands_c.join(
+            F.broadcast(bands_b.select(F.col(id_col).alias("doc_b"), "band", "bucket")),
+            on=["band", "bucket"],
+        )
+        .select(F.col(id_col).alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    pairs = jaccard_pairs(cand, sh_c.unionByName(sh_b), id_col, threshold)
+    return pairs.select(
+        F.col("doc_a").alias(id_col),
+        F.col("doc_b").alias("bench_id"),
+        "jaccard",
     )

@@ -235,3 +235,101 @@ def cms_estimate(
     return joined.groupBy(*keys.columns).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: deterministic base-2 log-histogram
+# ---------------------------------------------------------------------------
+#
+# Exact rank quantiles (profiling.group_quantiles) need a full shuffle of the
+# values; at 100 TB a monitoring pipeline wants the mergeable alternative: a
+# log-spaced histogram whose buckets are pure integer functions of the value,
+# so partial sketches combine map-side (sum of counts), shuffle one tiny row
+# per (group, bucket), and UNION of inputs == merge of their sketches.
+#
+# Bucketing is the DDSketch idea made cross-engine-exact: values are taken in
+# integer milli-units m = floor(value·1000); for m > 0 the bucket keeps the
+# top 1+LOGHIST_SUB_BITS bits of m — bucket lower bound
+# ``(m >> s) << s`` with ``s = bitlength(m) − 1 − SUB_BITS`` (0 when m is
+# short enough to keep exactly).  Every step is integer arithmetic on BIGINT
+# (bitlength via length(bin(x)), shifts), bit-identical in Spark and DuckDB —
+# no log()/pow() edge-rounding hazard.  Negatives mirror through |m| with a
+# negated bound; the bound is a monotone function of the value, so bucket
+# order IS value order and quantiles read off a cumulative walk.  Relative
+# error ≤ 2^−SUB_BITS (12.5% at the default 3 sub-bits) on the milli scale;
+# bucket count is O(64·2^SUB_BITS) per group regardless of input size.
+
+LOGHIST_SUB_BITS = 3
+LOGHIST_UNIT = 1000
+
+
+def loghist_bound(value: Column, sub_bits: int = LOGHIST_SUB_BITS, unit: int = LOGHIST_UNIT) -> Column:
+    """The bucket representative (lower bound of |value| in milli-units,
+    sign-mirrored) — a pure integer projection, NULL in → NULL out."""
+    m = F.floor(value * unit).cast("long")
+    a = F.abs(m)
+    shift = F.greatest(F.length(F.bin(a)) - F.lit(1 + sub_bits), F.lit(0))
+    # SQL shiftright/shiftleft accept a column-valued shift (the pyspark
+    # wrappers insist on a literal int)
+    bound = F.call_function("shiftleft", F.call_function("shiftright", a, shift), shift)
+    return (F.when(m < 0, -bound).otherwise(bound)).cast("long")
+
+
+def loghist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    sub_bits: int = LOGHIST_SUB_BITS,
+    unit: int = LOGHIST_UNIT,
+) -> DataFrame:
+    """(group…, bound, cnt) — one map-side-combined aggregation; NULL values
+    are excluded (count them upstream if missingness matters)."""
+    group_cols = group_cols or []
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, loghist_bound(F.col(value_col), sub_bits, unit).alias("bound"))
+        .groupBy(*group_cols, "bound")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def loghist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge = concat + re-sum: UNION of inputs == merge of sketches."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def loghist_quantiles(
+    sketch: DataFrame,
+    percents: dict[str, int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a sketch: for each percent p the bound of the
+    first bucket whose cumulative count reaches the type-1 lower rank
+    ``(n−1)·p//100 + 1`` (the house rank convention, exact integers).
+
+    The window runs over the SKETCH (≤ a few hundred rows per group), never
+    the data — safe at any input scale.  Output: one row per group with a
+    ``q_<name>`` BIGINT milli-unit column per requested percent.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("bound")
+    cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy(*[F.col(c) for c in group_cols]))
+    )
+    aggs = []
+    for name, p in percents.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"percent {name}={p} out of [0, 100]")
+        # cum ≥ floor((n−1)p/100)+1  ⟺  100·cum > (n−1)·p — pure BIGINT, no
+        # division anywhere (the n~2^53 floor-of-double hazard never exists)
+        hit = (F.col("__cum") * 100) > ((F.col("__n") - 1) * p)
+        aggs.append(F.min(F.when(hit, F.col("bound"))).alias(f"q_{name}"))
+    if group_cols:
+        return cum.groupBy(*group_cols).agg(*aggs)
+    return cum.agg(*aggs)

