@@ -104,6 +104,14 @@ EXTENDED = [
     "event_imputed_clipped",
     # round-5 wide→long melt (single Expand pass)
     "event_feature_melt",
+    # round-6 additions: literal XML decode → cifs chain, mergeable
+    # log-histogram quantile sketch (build + reads), ANN recall@k
+    # observability, MinHash fuzzy decontamination vs broadcast benchmark
+    "incident_xml_pipeline",
+    "event_value_sketch",
+    "event_sketch_quantiles",
+    "emb_ann_recall",
+    "doc_fuzzy_contamination",
 ]
 
 

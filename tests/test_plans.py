@@ -243,3 +243,60 @@ def test_feature_stats_and_negatives_plan_shapes(spark, tmp_path):
     assert "CartesianProduct" not in counts, counts
     assert "BroadcastNestedLoopJoin" not in counts, counts
     assert any(k.endswith("HashJoin") or k == "SortMergeJoin" for k in counts), counts
+
+
+def test_round6_plan_shapes(spark, tmp_path):
+    """Round-6 operators keep their scale contracts: the log-histogram
+    sketch is one partial-aggregated exchange with no window over the data;
+    fuzzy decontamination broadcasts the benchmark band table (never a
+    shuffled corpus×bench join, never a nested loop); the XML incident
+    pipeline stays JVM-side (no Python eval nodes)."""
+    from ipl_dagster_pipeline_spark.operators.cleaning import fuzzy_contamination_pairs
+    from ipl_dagster_pipeline_spark.operators.sketches import (
+        loghist_quantiles,
+        loghist_sketch,
+    )
+
+    ev = spark.range(0, 500).select(
+        (F.col("id") % 5).cast("string").alias("g"), (F.col("id") / 7.0).alias("v")
+    )
+    evp = str(tmp_path / "ev")
+    ev.write.parquet(evp)
+    ev = spark.read.parquet(evp)
+
+    sk = loghist_sketch(ev, "v", ["g"])
+    counts = _node_counts(spark, sk)
+    assert counts.get("Window", 0) == 0, counts          # never a window over the data
+    assert counts.get("Exchange", 0) <= 1, counts        # one partial-agg shuffle
+    assert "HashAggregate" in counts, counts             # map-side combine present
+
+    q = loghist_quantiles(sk, {"p50": 50}, ["g"])
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" in plan  # the window runs — over the tiny sketch frame
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with some shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dp = str(tmp_path / "docs")
+    docs.write.parquet(dp)
+    docs = spark.read.parquet(dp)
+    pairs = fuzzy_contamination_pairs(
+        docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")
+    )
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    import __spark_entry__ as em
+
+    xml = em.all_queries()["incident_xml_pipeline"](spark, "/root/testdata/sf0.001")
+    plan = xml._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
