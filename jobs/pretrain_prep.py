@@ -201,12 +201,35 @@ def main() -> None:
 
     features = pipe.stage("features", _features)
 
+    stage_rows = {}
     for stage in pipe.completed_stages():
         rows, checksum = total_from_lineage(spark, pipe.lineage_path, stage)
+        stage_rows[stage] = rows
         print(f"stage={stage} rows={rows} checksum={checksum}")
     folds = {r["fold"]: r["n"] for r in mixture.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+    n_features = features.count()
     print(f"mixture folds: {folds}")
-    print(f"trainer table: {features.count()} rows")
+    print(f"trainer table: {n_features} rows")
+
+    # K4 web-asset publish: the run summary as an atomic JSON + .gz sibling
+    # (the reference publishes JSON web assets from pipeline outputs,
+    # resources/webasset_io_manager.py) — a dashboard reads this, not parquet
+    from ipl_dagster_pipeline_spark.io import publish_web_asset
+
+    publish_web_asset(
+        os.path.join(args.output, "_webassets", "run_summary.json"),
+        content={
+            "stages": stage_rows,
+            "mixture_folds": folds,
+            "trainer_rows": n_features,
+            "params": {
+                "jaccard": args.jaccard,
+                "token_budget": args.token_budget,
+                "shards": args.shards,
+                "max_bits_per_bigram": args.max_bits_per_bigram,
+            },
+        },
+    )
 
 
 if __name__ == "__main__":

@@ -256,3 +256,34 @@ def test_pretrain_prep_mega_job_kill_resume(spark, monkeypatch, tmp_path):
         a = total_from_lineage(spark, pipe.lineage_path, s)
         b = total_from_lineage(spark, clean.lineage_path, s)
         assert a == b, f"stage {s}: killed-run {a} != clean-run {b}"
+
+
+def test_pretrain_prep_publishes_run_summary_asset(spark, monkeypatch, tmp_path):
+    """The mega-job publishes its run summary as a K4 web asset: JSON +
+    mtime-matched .gz sibling, values reconciling with the lineage table."""
+    import gzip
+    import json
+
+    import jobs.pretrain_prep as job
+
+    out = str(tmp_path / "pp")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pretrain_prep.py", "--input", "/root/testdata/sf0.001",
+         "--output", out, "--token-budget", "2000", "--shards", "2"],
+    )
+    job.main()
+
+    import os
+
+    p = os.path.join(out, "_webassets", "run_summary.json")
+    with open(p) as fh:
+        summary = json.load(fh)
+    with gzip.open(p + ".gz") as fh:
+        assert json.load(fh) == summary
+    assert os.stat(p).st_mtime == os.stat(p + ".gz").st_mtime
+    assert summary["trainer_rows"] > 0 and summary["stages"]["curated"] > 0
+    assert set(summary["mixture_folds"]) <= {"train", "val", "test"}
+    pipe = CheckpointedPipeline(spark, out)
+    rows, _ = total_from_lineage(spark, pipe.lineage_path, "curated")
+    assert summary["stages"]["curated"] == rows
