@@ -283,8 +283,15 @@ def loghist_sketch(
     unit: int = LOGHIST_UNIT,
 ) -> DataFrame:
     """(group…, bound, cnt) — one map-side-combined aggregation; NULL values
-    are excluded (count them upstream if missingness matters)."""
+    are excluded (count them upstream if missingness matters).  NaN/±Inf are
+    excluded too: Spark casts NaN→0L while DuckDB refuses the cast, so
+    letting them through would silently corrupt the zero bucket on one
+    engine and error on the other — dropping non-finite values keeps the
+    sketch a pure function of the finite data on BOTH engines."""
     group_cols = group_cols or []
+    c = F.col(value_col)
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        df = df.filter(~F.isnan(c) & (F.abs(c) != float("inf")))
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, loghist_bound(F.col(value_col), sub_bits, unit).alias("bound"))

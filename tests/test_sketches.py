@@ -208,3 +208,17 @@ def test_loghist_sketch_merge_and_error_bound(spark):
     for r in j:
         assert abs(r.q_p50 / 1000 - r.x50) <= 0.125 * r.x50 + 0.26
         assert abs(r.q_p99 / 1000 - r.x99) <= 0.125 * r.x99 + 0.26
+
+
+def test_loghist_sketch_drops_non_finite(spark):
+    """NaN/±Inf never reach the bucket math (Spark would cast NaN→0L and
+    corrupt the zero bucket; DuckDB would refuse the cast) — the sketch is a
+    pure function of the finite values."""
+    from ipl_dagster_pipeline_spark.operators.sketches import loghist_sketch
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,), (1.0,)],
+        "v double",
+    )
+    got = {(r.bound, r.cnt) for r in loghist_sketch(df, "v").collect()}
+    assert got == {(960, 2)}  # m=1000 → top-4-bit lower bound 960; nothing else
