@@ -28,6 +28,12 @@ class ExternalStageTimeout(RuntimeError):
     scripts/terminate_starting_and_started_runs.py:126-150)."""
 
 
+# scratch dirs whose timed-out (abandoned) worker thread may still be alive
+# in THIS process — the startup reap must never delete these; a process
+# restart clears the set, at which point the dirs are truly dead and reapable
+_ABANDONED_SCRATCH: set[str] = set()
+
+
 class CheckpointedPipeline:
     """Registry of named stages over a checkpoint root directory.
 
@@ -144,12 +150,17 @@ class CheckpointedPipeline:
 
         import inspect
         import threading
+        import uuid
 
-        # reap scratch left by a crashed PREVIOUS process (never this one's —
-        # an abandoned timed-out thread may still be writing to its own dir)
+        # reap scratch left by a crashed PREVIOUS process — but never a dir a
+        # still-live abandoned (timed-out) thread of THIS process may be
+        # writing (tracked in _ABANDONED_SCRATCH); scratch names also carry a
+        # per-call uuid token, so a retry can never recreate a zombie's path
         for d in os.listdir(stage_root):
-            if d.startswith("_scratch_"):
-                shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+            p = os.path.join(stage_root, d)
+            if d.startswith("_scratch_") and p not in _ABANDONED_SCRATCH:
+                shutil.rmtree(p, ignore_errors=True)
+        run_token = uuid.uuid4().hex[:8]
 
         existing = [
             int(d.split("_v")[1])
@@ -192,7 +203,7 @@ class CheckpointedPipeline:
         last_err: Exception | None = None
         scratch = ""
         for attempt in range(1, max_attempts + 1):
-            scratch = os.path.join(stage_root, f"_scratch_v{version}_a{attempt}")
+            scratch = os.path.join(stage_root, f"_scratch_{run_token}_a{attempt}")
             shutil.rmtree(scratch, ignore_errors=True)
             os.makedirs(scratch)
             try:
@@ -200,10 +211,13 @@ class CheckpointedPipeline:
                 break
             except Exception as err:  # supervised retry, never a silent skip
                 last_err = err
-                if not isinstance(err, ExternalStageTimeout):
-                    # safe to reap: the attempt finished (no zombie writer);
-                    # a timed-out attempt's dir is left for its abandoned
-                    # thread and reaped by the next process (see above)
+                if isinstance(err, ExternalStageTimeout):
+                    # the abandoned thread may still write here — never reap
+                    # this path from THIS process (in-process retries use a
+                    # fresh uuid token, so no collision is possible either)
+                    _ABANDONED_SCRATCH.add(scratch)
+                else:
+                    # safe to reap: the attempt finished (no zombie writer)
                     shutil.rmtree(scratch, ignore_errors=True)
         else:
             if emit_lineage:  # failure visible to K6 reconciliation

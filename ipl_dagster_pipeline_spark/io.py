@@ -290,6 +290,7 @@ def publish_web_asset(
     content: bytes | str | dict | None = None,
     write_fn=None,
     precompressed: bool = True,
+    source_mtime: float | None = None,
 ) -> dict:
     """Atomically publish a small non-parquet artifact (JSON summary,
     GeoJSON layer, …) with an optional precompressed ``.gz`` sibling —
@@ -301,13 +302,23 @@ def publish_web_asset(
     (pipeline/util/urllib.py:90-113, resources/webasset_io_manager.py:45-54).
     Spark-first notes: this is a DRIVER-side publish for collected,
     kilobyte-scale artifacts (a rollup the flagship queries already reduced);
-    bulk data stays in parquet snapshots.  The gzip header mtime is pinned to
-    the source file's mtime, so a byte-identical artifact republishes to a
-    byte-identical ``.gz`` — rsync/etag friendly.
+    bulk data stays in parquet snapshots.  The gzip header mtime (and both
+    files' mtimes) are pinned to ``source_mtime`` when given — pass the
+    upstream artifact's timestamp and a byte-identical artifact republishes
+    to a byte-identical ``.gz`` (rsync/etag friendly).  Without it the
+    write time is used (the reference's behavior, urllib.py:107-109), and
+    republished ``.gz`` bytes differ in the header timestamp only.
 
     Exactly one of ``content`` (bytes / str / JSON-serializable dict) or
-    ``write_fn(tmp_path) -> None`` must be given.  The rename of the main
-    file is the commit point; a failed writer leaves no partial files.
+    ``write_fn(tmp_path) -> None`` must be given.  A failed writer leaves no
+    partial files.  The ``.gz`` sibling is renamed into place FIRST and the
+    main file second — the main rename is the commit point; if it fails the
+    stale ``.gz`` is removed so consumers fall back to the uncompressed
+    asset rather than being served mismatched encodings.  A process crash
+    exactly between the two renames leaves a newer ``.gz`` beside the old
+    main file until the next publish — the same bounded window the
+    reference's publish has (urllib.py:110-113); only single-file artifacts
+    are fully atomic on POSIX renames.
     Returns ``{'path', 'gz_path', 'bytes', 'gz_bytes'}``.
     """
     import gzip
@@ -332,20 +343,24 @@ def publish_web_asset(
             with open(tmp, "wb") as fh:
                 fh.write(content)
 
+        mtime = source_mtime if source_mtime is not None else os.stat(tmp).st_mtime
+        os.utime(tmp, (mtime, mtime))
         gz_tmp = gz_final = None
         if precompressed:
             gz_tmp, gz_final = tmp + ".gz", final_path + ".gz"
-            mtime = os.stat(tmp).st_mtime
             with open(tmp, "rb") as f_in, open(gz_tmp, "wb") as f_raw:
                 # pin the gzip-header mtime (and strip the filename) so the
                 # sibling is a pure function of the artifact bytes + mtime
                 with gzip.GzipFile(filename="", mode="wb", fileobj=f_raw, mtime=mtime) as f_out:
                     shutil.copyfileobj(f_in, f_out)
             os.utime(gz_tmp, (mtime, mtime))
-
-        os.replace(tmp, final_path)  # the commit point
-        if precompressed:
-            os.replace(gz_tmp, gz_final)
+            os.replace(gz_tmp, gz_final)  # sibling first …
+        try:
+            os.replace(tmp, final_path)  # … main rename is the commit point
+        except BaseException:
+            if precompressed and os.path.exists(gz_final):
+                os.remove(gz_final)  # never serve a .gz newer than the main file
+            raise
     except BaseException:
         for p in (tmp, tmp + ".gz"):
             if os.path.exists(p):

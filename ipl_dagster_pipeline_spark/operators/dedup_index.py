@@ -201,22 +201,48 @@ class MinHashIndex:
                 return self.pairs.read(spark).limit(0)
 
         batch = batch.select(id_col, text_col)
-        if check_duplicate_ids and self.docs.current_snapshot_id() is not None:
+        if check_duplicate_ids:
+            from pyspark.sql import Window as _W
+
             obs_dup = register_observation("incr_index_dup_ids")
-            batch = (
-                batch.join(
+            # guard BOTH duplicate sources: ids already stored in the index
+            # (anti-join) AND ids repeated WITHIN this batch (row_number over
+            # the batch — deterministic keep-min-text), since either would
+            # append a second docs/bands copy and poison that id's
+            # exact-Jaccard verification.  The window shuffles only the
+            # batch, never the index.  Counts observed with coalesce so a
+            # clean batch reports 0, not NULL.
+            b = batch.withColumn(
+                "__rn", F.row_number().over(_W.partitionBy(id_col).orderBy(text_col))
+            )
+            if self.docs.current_snapshot_id() is not None:
+                b = b.join(
                     self.docs.read(spark).select(id_col, F.lit(True).alias("__dup")),
                     on=id_col,
                     how="left",
                 )
-                .observe(
+            else:
+                b = b.withColumn("__dup", F.lit(None).cast("boolean"))
+            batch = (
+                b.observe(
                     obs_dup,
-                    F.sum(F.col("__dup").cast("long")).alias("dropped_dup_ids"),
+                    F.coalesce(F.sum(F.col("__dup").cast("long")), F.lit(0)).alias(
+                        "dropped_dup_ids"
+                    ),
+                    F.coalesce(F.sum((F.col("__rn") > 1).cast("long")), F.lit(0)).alias(
+                        "dropped_batch_dups"
+                    ),
                     F.count(F.lit(1)).alias("batch_rows"),
                 )
-                .filter(F.col("__dup").isNull())
-                .drop("__dup")
+                .filter(F.col("__dup").isNull() & (F.col("__rn") == 1))
+                .drop("__dup", "__rn")
             )
+            # persist the guarded delta and fire the observation with one
+            # tiny O(batch) action NOW: the downstream pipeline replicates
+            # this subtree across union branches (band_rows) where a
+            # duplicated CollectMetrics node makes the metric unretrievable
+            batch = tracked_persist(batch)
+            batch.count()
 
         sh_new = tracked_persist(shingles(batch, id_col, text_col, p["k"]))
         sig_new = minhash_signatures(sh_new, id_col, p["n_hashes"])
@@ -284,7 +310,13 @@ class MinHashIndex:
             self.bands.commit(bands_new.drop("__new"), mode="append", meta=meta)
         if batch_id not in self._committed_batches("docs", self.docs):
             self.docs.commit(batch.select(id_col, text_col), mode="append", meta=meta)
-        return self._batch_snapshot_df(spark, self.pairs, batch_id)
+        try:
+            return self._batch_snapshot_df(spark, self.pairs, batch_id)
+        except KeyError:
+            # partial-commit crash + maintain() folded this batch's pairs tag
+            # into the registry before the retry: the pairs live on in
+            # all_pairs, the per-batch delta is gone — empty delta, not a raise
+            return self.pairs.read(spark).limit(0)
 
     # -- reads ----------------------------------------------------------
 

@@ -116,9 +116,14 @@ def main() -> None:
 
     # -- incremental dedup index (two daily-cadence batches) ---------------
     def _index_pairs():
-        idx = MinHashIndex(
-            os.path.join(args.output, "_minhash_index"), threshold=args.jaccard
-        )
+        index_root = os.path.join(args.output, "_minhash_index")
+        if args.force:
+            # the index's own batch-id idempotence would otherwise return the
+            # stale committed pairs — --force must rebuild the index as well
+            import shutil
+
+            shutil.rmtree(index_root, ignore_errors=True)
+        idx = MinHashIndex(index_root, threshold=args.jaccard)
         # batch-id idempotence makes a crash between these two calls safe:
         # the rerun replays b_even as a no-op and resumes at b_odd
         idx.add_batch(candidates.filter(F.col("doc_id") % 2 == 0), "b_even")

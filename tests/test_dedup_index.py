@@ -200,3 +200,25 @@ def test_duplicate_doc_ids_are_dropped_and_observed(spark, docs, tmp_path):
     # and the index still equals a full recompute over the KEPT corpus
     full = minhash_lsh_dedup(docs.filter(F.col("doc_id") < 200), threshold=0.5)
     assert _pairs_set(idx.all_pairs(spark)) == _pairs_set(full)
+
+
+def test_in_batch_duplicate_ids_are_dropped(spark, docs, tmp_path):
+    """An id repeated WITHIN one batch must not append two docs/bands copies
+    (the shingle union would poison that id's exact-Jaccard verification):
+    deterministic keep-min-text, drop observable, never silent."""
+    from ipl_dagster_pipeline_spark.metrics import observed_metrics
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [(7, "aaaa bbbb cccc dddd"), (7, "totally different text here"), (8, "eeee ffff gggg")],
+        "doc_id long, text string",
+    )
+    idx.add_batch(batch, "b1")
+    stored = idx.docs.read(spark)
+    assert stored.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    [kept] = stored.filter(F.col("doc_id") == 7).collect()
+    assert kept.text == "aaaa bbbb cccc dddd"  # keep-min-text, deterministic
+    m = observed_metrics("incr_index_dup_ids")
+    [vals] = [v for k, v in m.items()]
+    assert vals["dropped_batch_dups"] == 1 and vals["dropped_dup_ids"] == 0
+    assert vals["batch_rows"] == 3

@@ -349,11 +349,12 @@ def test_publish_web_asset_gz_sibling(tmp_path):
     assert st.st_mtime == st_gz.st_mtime  # one Last-Modified for both encodings
     assert not [f for f in os.listdir(tmp_path / "assets") if f.endswith(".tmp")]
 
-    # republish of identical bytes+mtime → byte-identical gz (pinned header)
+    # republish with a pinned source_mtime → byte-identical gz AND file
+    publish_web_asset(target, content=payload, source_mtime=1700000000.0)
     gz1 = open(target + ".gz", "rb").read()
-    os.utime(target, (st.st_mtime, st.st_mtime))
-    publish_web_asset(target, content=payload)
-    os.utime(target, (st.st_mtime, st.st_mtime))
+    publish_web_asset(target, content=payload, source_mtime=1700000000.0)
+    assert open(target + ".gz", "rb").read() == gz1
+    assert os.stat(target).st_mtime == os.stat(target + ".gz").st_mtime == 1700000000.0
 
     # writer failure leaves no partial files and keeps the old asset
     def bad_writer(tmp):
@@ -369,7 +370,7 @@ def test_publish_web_asset_gz_sibling(tmp_path):
         assert json.load(fh) == payload  # old asset intact
     assert not [f for f in os.listdir(tmp_path / "assets") if ".tmp" in f]
 
-    # misuse is loud
+    # misuse is loud; the committed pair survives everything above unchanged
     with pytest.raises(ValueError, match="exactly one"):
         publish_web_asset(target)
-    assert len(gz1) == os.path.getsize(target + ".gz")
+    assert open(target + ".gz", "rb").read() == gz1

@@ -287,3 +287,38 @@ def test_pretrain_prep_publishes_run_summary_asset(spark, monkeypatch, tmp_path)
     pipe = CheckpointedPipeline(spark, out)
     rows, _ = total_from_lineage(spark, pipe.lineage_path, "curated")
     assert summary["stages"]["curated"] == rows
+
+
+def test_pretrain_prep_force_rebuilds_index(spark, monkeypatch, tmp_path):
+    """--force must rebuild the MinHash index too: its batch-id idempotence
+    would otherwise return stale pairs for changed input (review finding)."""
+    import jobs.pretrain_prep as job
+
+    out = str(tmp_path / "pp")
+    full = "/root/testdata/sf0.001"
+    half_dir = str(tmp_path / "half_in")
+    docs = spark.read.parquet(f"{full}/documents.parquet")
+    import os
+
+    os.makedirs(half_dir)
+    docs.filter(F.col("doc_id") < 250).write.parquet(f"{half_dir}/documents.parquet")
+
+    def run(inp, *extra):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["pretrain_prep.py", "--input", inp, "--output", out,
+             "--token-budget", "2000", "--shards", "2", *extra],
+        )
+        job.main()
+
+    run(full)
+    from ipl_dagster_pipeline_spark.operators.dedup_index import MinHashIndex
+
+    n_docs_full = MinHashIndex(os.path.join(out, "_minhash_index")).docs.read(spark).count()
+
+    # --force with REDUCED input: the index must reflect the new input only
+    run(half_dir, "--force")
+    n_docs_half = MinHashIndex(os.path.join(out, "_minhash_index")).docs.read(spark).count()
+    assert n_docs_half < n_docs_full
+    exp = docs.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 97 != 0)).count()
+    assert n_docs_half == exp

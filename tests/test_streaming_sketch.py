@@ -83,3 +83,35 @@ def test_streaming_sketch_starts_on_empty_dir_with_schema(spark, tmp_path):
     )
     q.awaitTermination()
     assert SnapshotTable(str(tmp_path / "sk")).current_snapshot_id() is None
+
+
+def test_streaming_sketch_housekeeping_bounds_snapshots(spark, tmp_path):
+    """Long-running stream: snapshots are expired down to keep_last, and the
+    durable tag registry keeps replay-skipping correct even after the tagged
+    manifests are gone (fresh checkpoint replays batch 0 → still skipped)."""
+    input_dir = str(tmp_path / "in")
+    table = str(tmp_path / "sk")
+
+    ck = str(tmp_path / "ck")
+    for wave in range(4):
+        spark.range(wave * 50, wave * 50 + 50).select(
+            (F.col("id") / 5.0).alias("v")
+        ).write.mode("append").parquet(input_dir)
+        stream_sketch_maintenance(
+            spark, input_dir, table, "v", None, ck,
+            maintain_every=2, keep_last=1,
+        ).awaitTermination()
+
+    tbl = SnapshotTable(table)
+    assert len(tbl.snapshots()) <= 2  # bounded, not one per batch
+    # content still equals the batch sketch over ALL rows
+    assert _frames_equal(
+        tbl.read(spark), loghist_sketch(spark.read.parquet(input_dir), "v", None)
+    )
+    # registry-backed replay skip: yet another fresh checkpoint re-fires b0
+    before = tbl.read(spark).agg(F.sum("cnt").alias("n")).collect()[0].n
+    stream_sketch_maintenance(
+        spark, input_dir, table, "v", None, str(tmp_path / "ck_replay"),
+        maintain_every=2, keep_last=1,
+    ).awaitTermination()
+    assert tbl.read(spark).agg(F.sum("cnt").alias("n")).collect()[0].n == before == 200
