@@ -6554,3 +6554,50 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B55_ALL_ORACLES_FN()
     out.update(_B56_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 57 (round 6): Z-order (Morton) layout clustering — the
+# multi-dimensional file-layout key behind Iceberg/Delta Z-ordering
+# (partitioning.py: morton_code / cluster_by_morton).  Range-partitioning on
+# one column prunes on that column only; interleaving bits of several gives
+# every clustered column narrow per-file min/max ranges, so a 100 TB scan
+# with a predicate on ANY of them skips most files on footer statistics.
+# Pure BIGINT bit arithmetic, identical in ANSI SQL — value-hashed.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.partitioning import morton_code, morton_sql
+
+
+def q_event_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order key for events clustered on (hour-of-day, value): one
+    projection, no shuffle; NULL in either dimension → NULL key (incomplete
+    rows sort together at the end of the layout)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_code([F.hour(F.col("ts").cast("timestamp")), F.floor("value")]).alias("zcode"),
+    )
+
+
+SQL_MORTON_LAYOUT = f"""
+SELECT event_id, {morton_sql(["hour(ts)", "floor(value)"])} AS zcode
+FROM events
+"""
+
+_B56_ALL_QUERIES_FN = all_queries
+_B56_ALL_ORACLES_FN = all_oracle_sql
+
+_B57_QUERIES = {"event_morton_layout": q_event_morton_layout}
+_B57_ORACLES = {"event_morton_layout": SQL_MORTON_LAYOUT}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B56_ALL_QUERIES_FN()
+    out.update(_B57_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B56_ALL_ORACLES_FN()
+    out.update(_B57_ORACLES)
+    return out

@@ -163,3 +163,67 @@ def skew_profile(df: DataFrame, key: str, top_n: int = 100) -> DataFrame:
             "hot_ratio"
         ),
     )
+
+
+def morton_code(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of N non-negative integer columns — the
+    multi-dimensional layout key behind Iceberg/Delta Z-ordering.
+
+    Range-partitioning on ONE column gives perfect file-level min/max
+    pruning on that column and none on the others; interleaving the bits of
+    several columns gives every interleaved column narrow per-file ranges,
+    so a 100 TB scan with a predicate on ANY of them skips most files on
+    footer statistics.  Pure integer bit arithmetic (``(x >> i & 1) <<
+    (N·i + j)`` summed) — JVM-side, deterministic, and replayable in ANSI
+    SQL for the value-hash oracle.  Inputs are clamped to ``[0, 2^bits)``;
+    NULL in any column → NULL code (sorts last, keeping incomplete rows
+    together).  ``N·bits`` must fit a BIGINT (≤ 62).
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits = {n * bits} exceeds BIGINT range")
+    cap = (1 << bits) - 1
+    clamped = [F.least(F.greatest(c.cast("long"), F.lit(0)), F.lit(cap)) for c in cols]
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(clamped):
+            terms.append(F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), n * i + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    # greatest/least SKIP NULLs on both engines (a NULL would silently clamp
+    # to 0) — guard explicitly so NULL in → NULL out holds
+    any_null = cols[0].isNull()
+    for c in cols[1:]:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None)).otherwise(out).cast("long")
+
+
+def morton_sql(exprs: list[str], bits: int = 16) -> str:
+    """The identical interleave as an ANSI-SQL string (oracle replay)."""
+    n = len(exprs)
+    clamped = [f"least(greatest(CAST({e} AS BIGINT), 0), {(1 << bits) - 1})" for e in exprs]
+    terms = [
+        f"((({c} >> {i}) & 1) << {n * i + j})"
+        for i in range(bits)
+        for j, c in enumerate(clamped)
+    ]
+    null_guard = " OR ".join(f"({e}) IS NULL" for e in exprs)
+    return f"(CASE WHEN {null_guard} THEN NULL ELSE " + " + ".join(terms) + " END)"
+
+
+def cluster_by_morton(
+    df: DataFrame, cols: list[Column], n_partitions: int | None = None, bits: int = 16
+) -> DataFrame:
+    """Z-order layout: range-partition AND sort by the Morton code, so each
+    written file covers a small hyper-rectangle of the clustered columns —
+    the write-side half of data skipping (the read side is the engine
+    consulting per-file min/max, free in Iceberg/Delta/parquet footers)."""
+    z = morton_code(cols, bits).alias("__z")
+    out = df.withColumn("__z", z)
+    rp = (
+        out.repartitionByRange(n_partitions, "__z")
+        if n_partitions
+        else out.repartitionByRange("__z")
+    )
+    return rp.sortWithinPartitions("__z").drop("__z")

@@ -268,7 +268,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 131 and len(all_oracles) == 128
+    assert len(all_qs) == 132 and len(all_oracles) == 129
 
 
 def test_no_per_row_python_udfs():
@@ -374,3 +374,55 @@ def test_publish_web_asset_gz_sibling(tmp_path):
     with pytest.raises(ValueError, match="exactly one"):
         publish_web_asset(target)
     assert open(target + ".gz", "rb").read() == gz1
+
+
+def test_morton_zorder_layout(spark, tmp_path):
+    """Z-order clustering: the Morton code round-trips (de-interleaving
+    recovers the clamped inputs), NULL dims yield NULL codes, and the
+    clustered layout gives EVERY interleaved column narrow per-file min/max
+    ranges (the footer statistics data skipping reads) — range-partitioning
+    on one column cannot."""
+    import pyarrow.parquet as pq
+
+    from ipl_dagster_pipeline_spark.partitioning import cluster_by_morton, morton_code
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),  # independent 64×64 grid
+    )
+    coded = df.select("x", "y", morton_code([F.col("x"), F.col("y")], bits=6).alias("z")).collect()
+    for r in coded:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(6))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(6))
+        assert (x, y) == (r.x, r.y)
+
+    [nz] = (
+        spark.createDataFrame([(None, 3)], "a int, b int")
+        .select(morton_code([F.col("a"), F.col("b")], bits=6).alias("z"))
+        .collect()
+    )
+    assert nz.z is None
+
+    def per_file_range_sum(path: str, col: str) -> int:
+        total = 0
+        import glob
+
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = [md.row_group(0).column(i).path_in_schema for i in range(md.num_columns)].index(col)
+            lo = min(md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups))
+            total += hi - lo
+        return total
+
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    cluster_by_morton(df, [F.col("x"), F.col("y")], n_partitions=16, bits=6).write.parquet(zdir)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(rdir)
+
+    # single-column layout: x prunes perfectly but y is ~full-range per file;
+    # Z-order: BOTH columns' summed per-file ranges are far below full-range
+    full = 63 * 16
+    assert per_file_range_sum(rdir, "y") > 0.8 * full
+    assert per_file_range_sum(zdir, "x") < 0.5 * full
+    assert per_file_range_sum(zdir, "y") < 0.5 * full
