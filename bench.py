@@ -112,6 +112,7 @@ EXTENDED = [
     "event_sketch_quantiles",
     "emb_ann_recall",
     "doc_fuzzy_contamination",
+    "event_morton_layout",
 ]
 
 
