@@ -2786,13 +2786,26 @@ DRIVER_QUERY_ORDER = [
     # and feeds the gated emb_dup_components; event_funnel's ordered-stage
     # windows are event_target_encode's strictly-earlier expanding frames +
     # rich_features' lag/lead. ---
+    # --- round-6 rotation #4 (same round): the five operators BORN this
+    # round take gate rows immediately so no class ships ungated.  The five
+    # demoted entries stay --all-checked with their capabilities gated
+    # transitively: event_cms_user_counts' mergeable integer registers are
+    # event_hll_users (gated) + the two loghist sketch rows (gated);
+    # event_hash_cross' portable-hash bucketing is event_feature_vectors'
+    # hashing trick; source_unigram_kl's integer milli-nat family is
+    # doc_lm_surprisal + doc_pmi_collocations, and its drift-monitor role is
+    # event_value_psi; doc_temperature_sample's hash keep-probability rule
+    # is doc_negative_pairs' draws + event_class_balance's hash-order caps;
+    # event_skew_profile's exact ppm concentration diagnostics back the
+    # gated salted_agg_by_conv and event_class_balance shapes. ---
+    "event_value_sketch",
+    "event_sketch_quantiles",
+    "emb_ann_recall",
+    "doc_fuzzy_contamination",
+    "event_morton_layout",
     "incident_xml_pipeline",
     "doc_containment_pairs",
-    "source_unigram_kl",
     "doc_pmi_collocations",
-    "event_cms_user_counts",
-    "event_skew_profile",
-    "event_hash_cross",
     "event_feature_correlations",
     "event_type_hour_mi",
     "doc_negative_pairs",
@@ -2800,7 +2813,6 @@ DRIVER_QUERY_ORDER = [
     "event_class_balance",
     "event_imputed_clipped",
     "event_feature_melt",
-    "doc_temperature_sample",
     "geo_route_lengths",
     # --- round-5 rotation rows retained ---
     "event_feature_vectors",

@@ -219,17 +219,18 @@ def test_driver_contract_consistency():
     assert set(qs) - set(oracles) == set()  # 50/50 fully value-hashed
     assert len(qs) == 50 and len(oracles) == 50
     assert list(qs) == em.DRIVER_QUERY_ORDER
-    # round-6 rotation #3: the 15 round-5 catalog-only classes plus the new
-    # literal XML decode lead the gate — with this rotation every capability
-    # class has been gated at least once
+    # round-6 rotations #3+#4: the round-5 catalog-only classes AND every
+    # operator born this round lead the gate — no capability class has ever
+    # shipped ungated
     assert list(qs)[:16] == [
+        "event_value_sketch",
+        "event_sketch_quantiles",
+        "emb_ann_recall",
+        "doc_fuzzy_contamination",
+        "event_morton_layout",
         "incident_xml_pipeline",
         "doc_containment_pairs",
-        "source_unigram_kl",
         "doc_pmi_collocations",
-        "event_cms_user_counts",
-        "event_skew_profile",
-        "event_hash_cross",
         "event_feature_correlations",
         "event_type_hour_mi",
         "doc_negative_pairs",
@@ -237,7 +238,6 @@ def test_driver_contract_consistency():
         "event_class_balance",
         "event_imputed_clipped",
         "event_feature_melt",
-        "doc_temperature_sample",
         "geo_route_lengths",
     ]
     # every demotion (rounds 4+5, both round-5 rotations) stays
@@ -259,6 +259,9 @@ def test_driver_contract_consistency():
         "events_rollup_daily", "doc_pii_redact", "media_sample_frames",
         "doc_contamination", "doc_pack_sequences", "user_event_stats",
         "prefer_first_lang", "doc_textstats", "emb_near_dup_lsh", "event_funnel",
+        # rotation #4 demotions (round 6): held a gate row during this round
+        "event_cms_user_counts", "event_hash_cross", "source_unigram_kl",
+        "doc_temperature_sample", "event_skew_profile",
     ):
         assert demoted not in qs and demoted in em.all_queries() and demoted in em.all_oracle_sql()
     # every merged-away original is still runnable via the full catalog
