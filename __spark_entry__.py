@@ -6613,3 +6613,91 @@ def all_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _B56_ALL_ORACLES_FN()
     out.update(_B57_ORACLES)
     return out
+
+# ---------------------------------------------------------------------------
+# batch 58 (round 6): SKETCH-based frozen fits — the 100 TB path for the
+# impute/winsorize family.  The exact fits rank every value through the
+# distributed prefix sum (a full shuffle of the fit column); the sketch fits
+# read median and clip bounds off the mergeable base-2 log-histogram (ONE
+# map-side-combined aggregation) within 2^-3 relative error, and freeze an
+# artifact of the SAME shape, so impute_transform / clip_transform (and the
+# streaming fit_literals serving path) work unchanged.  The oracle replays
+# the full sketch: bucket math, division-free rank walk, and transforms.
+# ---------------------------------------------------------------------------
+
+from ipl_dagster_pipeline_spark.operators.featurize import (
+    clip_fit_sketch,
+    impute_fit_sketch,
+)
+
+
+def q_event_imputed_clipped_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-impute + p5/p95 winsorize under SKETCH-based frozen fits:
+    (event_id, value_raw, value_filled, value_clip)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    imputer = impute_fit_sketch(ev, ["value"])
+    clips = clip_fit_sketch(ev, "value", 5, 95)
+    out = ev.withColumn("value_raw", F.col("value"))
+    out = impute_transform(out, imputer, ["value"])
+    out = clip_transform(out, clips, "value", out_col="value_clip")
+    return out.select("event_id", "value_raw", F.col("value").alias("value_filled"), "value_clip")
+
+
+SQL_IMPUTED_CLIPPED_SKETCH = """
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value
+    FROM events
+),
+m AS (
+    SELECT CAST(floor(value * 1000) AS BIGINT) AS m FROM ev
+    WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+),
+s AS (SELECT m, greatest(length(bin(abs(m))) - 4, 0) AS sh FROM m),
+sk AS (
+    SELECT CASE WHEN m < 0 THEN -((abs(m) >> sh) << sh)
+                ELSE (abs(m) >> sh) << sh END AS bound,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM s GROUP BY 1
+),
+c AS (
+    SELECT bound, cnt,
+           sum(cnt) OVER (ORDER BY bound) AS cum,
+           sum(cnt) OVER () AS n
+    FROM sk
+),
+fit AS (
+    SELECT min(CASE WHEN cum * 100 > (n - 1) * 50 THEN bound END) / 1000 AS imp,
+           min(CASE WHEN cum * 100 > (n - 1) * 5  THEN bound END) / 1000 AS clip_lo,
+           min(CASE WHEN cum * 100 > (n - 1) * 95 THEN bound END) / 1000 AS clip_hi
+    FROM c
+)
+SELECT event_id, value AS value_raw,
+       coalesce(value, imp) AS value_filled,
+       CASE WHEN coalesce(value, imp) IS NULL THEN NULL
+            ELSE least(greatest(coalesce(value, imp), clip_lo), clip_hi) END AS value_clip
+FROM ev CROSS JOIN fit
+"""
+
+_B57_ALL_QUERIES_FN = all_queries
+_B57_ALL_ORACLES_FN = all_oracle_sql
+
+_B58_QUERIES = {"event_imputed_clipped_sketch": q_event_imputed_clipped_sketch}
+_B58_ORACLES = {"event_imputed_clipped_sketch": SQL_IMPUTED_CLIPPED_SKETCH}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _B57_ALL_QUERIES_FN()
+    out.update(_B58_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _B57_ALL_ORACLES_FN()
+    out.update(_B58_ORACLES)
+    return out

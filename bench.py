@@ -113,6 +113,7 @@ EXTENDED = [
     "emb_ann_recall",
     "doc_fuzzy_contamination",
     "event_morton_layout",
+    "event_imputed_clipped_sketch",
 ]
 
 

@@ -411,3 +411,55 @@ def quantile_fit_elements(
         n_partitions=n_partitions,
     )
     return q.drop("__g", "__n_fit")
+
+
+def quantile_sketch_elements(
+    train: DataFrame,
+    col: str,
+    percents: dict[str, int],
+    unit: int = 1000,
+) -> DataFrame:
+    """One-row frame of SKETCH-based quantile estimates for ``col`` — the
+    100 TB alternative to the exact rank-element fits.
+
+    :func:`clip_fit` / :func:`impute_fit` rank every value through the keyed
+    distributed prefix sum — exact, but a full shuffle of the fit column.
+    This path builds the mergeable base-2 log-histogram
+    (:func:`operators.sketches.loghist_sketch` — ONE map-side-combined
+    aggregation, ≤ a few hundred register rows) and reads the requested
+    percents off it, within 2^−3 relative error.  For a monitoring-grade
+    winsorize/impute fit over a 100 TB column that tolerance is the right
+    trade; the frozen artifact is identical in shape to the exact fits, so
+    every downstream ``*_transform`` (and :func:`fit_literals` serving)
+    works unchanged.  Estimates come back in ``col``'s own units (milli
+    bounds / ``unit`` — an exact integer-by-constant division, IEEE-
+    identical cross-engine).
+    """
+    from .sketches import loghist_quantiles, loghist_sketch
+
+    sk = loghist_sketch(train, col, [], unit=unit)
+    q = loghist_quantiles(sk, percents, [])
+    return q.select(*[(F.col(f"q_{n}") / unit).alias(n) for n in percents])
+
+
+def clip_fit_sketch(
+    train: DataFrame, col: str, lo_percent: int = 1, hi_percent: int = 99
+) -> DataFrame:
+    """Sketch-based winsorization bounds — drop-in for :func:`clip_fit`
+    (same one-row ``clip_lo``/``clip_hi`` artifact, consumed by
+    :func:`clip_transform`)."""
+    if not 0 <= lo_percent < hi_percent <= 100:
+        raise ValueError(f"need 0 <= lo < hi <= 100, got lo={lo_percent} hi={hi_percent}")
+    return quantile_sketch_elements(train, col, {"clip_lo": lo_percent, "clip_hi": hi_percent})
+
+
+def impute_fit_sketch(train: DataFrame, cols: list[str]) -> DataFrame:
+    """Sketch-based median fill values — drop-in for
+    :func:`impute_fit(strategy='median')` (same one-row ``imp_<c>``
+    artifact, consumed by :func:`impute_transform`).  One tiny sketch per
+    column; the cross join of one-row frames is free."""
+    out = None
+    for c in cols:
+        one = quantile_sketch_elements(train, c, {f"imp_{c}": 50})
+        out = one if out is None else out.crossJoin(one)
+    return out

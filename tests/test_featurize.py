@@ -202,3 +202,44 @@ def test_quantile_fit_elements_single_pass_feeds_both_transforms(spark):
     out = clip_transform(out, fit.select("clip_lo", "clip_hi"), "x", out_col="cx")
     rows = {r["id"]: (r["x"], r["cx"]) for r in out.collect()}
     assert rows == {1: (50.0, 50.0), 2: (-7.0, 5.0), 3: (200.0, 95.0)}
+
+
+def test_sketch_fits_drop_in_for_exact_fits(spark):
+    """Sketch-based clip/impute fits freeze artifacts of the SAME shape as
+    the exact fits (consumed unchanged by the transforms) and land within
+    the sketch's 2^-3 relative error of the exact rank elements."""
+    from ipl_dagster_pipeline_spark.operators.featurize import (
+        clip_fit,
+        clip_fit_sketch,
+        clip_transform,
+        impute_fit,
+        impute_fit_sketch,
+        impute_transform,
+    )
+
+    ev = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("id") * 17 % 997) / 3.0 + 1)
+        .alias("v"),
+    )
+    exact_clip = clip_fit(ev, "v", "k", 5, 95).collect()[0]
+    sk_clip_df = clip_fit_sketch(ev, "v", 5, 95)
+    assert sk_clip_df.columns == ["clip_lo", "clip_hi"]
+    sk_clip = sk_clip_df.collect()[0]
+    for name in ("clip_lo", "clip_hi"):
+        e, s = float(exact_clip[name]), float(sk_clip[name])
+        assert abs(s - e) <= 0.125 * abs(e) + 0.26, (name, e, s)
+
+    exact_imp = impute_fit(ev, ["v"], "k").collect()[0]["imp_v"]
+    sk_imp_df = impute_fit_sketch(ev, ["v"])
+    assert sk_imp_df.columns == ["imp_v"]
+    sk_imp = sk_imp_df.collect()[0]["imp_v"]
+    assert abs(sk_imp - float(exact_imp)) <= 0.125 * abs(float(exact_imp)) + 0.26
+
+    # the transforms consume the sketch artifacts unchanged
+    out = clip_transform(impute_transform(ev, sk_imp_df, ["v"]), sk_clip_df, "v")
+    assert out.filter(F.col("v").isNull()).count() == 0
+    assert out.filter(
+        (F.col("clipped_v") < sk_clip["clip_lo"]) | (F.col("clipped_v") > sk_clip["clip_hi"])
+    ).count() == 0

@@ -271,7 +271,7 @@ def test_driver_contract_consistency():
     assert set(all_qs) - set(all_oracles) == {
         "emb_lsh_topk", "emb_ivf_topk", "emb_ann_parity"
     }
-    assert len(all_qs) == 132 and len(all_oracles) == 129
+    assert len(all_qs) == 133 and len(all_oracles) == 130
 
 
 def test_no_per_row_python_udfs():
