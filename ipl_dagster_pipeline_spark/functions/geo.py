@@ -73,20 +73,26 @@ def parse_linestring(text: Column) -> Column:
     """CIFS-style ``"lat lon lat lon ..."`` text → ``array<struct<lon,lat>>``
     (reference cifs.py:251-253,303 — F6 split + pairwise restructure).
 
-    Pure array expressions: split → index pairs → transform; empty/blank
-    text yields an empty array."""
+    Pure array expressions: split → alternating-index filters → zip; empty/
+    blank text yields an empty array.  The pairing deliberately avoids
+    ``element_at(toks, i)`` inside a ``transform`` lambda: an expression
+    referenced from a lambda BODY is re-evaluated per element, so the split
+    would run once per vertex — O(tokens²) character work per row (r7: the
+    same pattern cost lm.doc_bigrams 20× on its explode).  ``filter``/
+    ``zip_with`` only reference lambda-bound values; the split is evaluated
+    once per row as a plain HOF child."""
     toks = F.split(F.trim(text), r"\s+")
     n_pairs = (F.size(toks) / 2).cast("int")
-    idx = F.sequence(F.lit(0), n_pairs - 1)
-    return F.when(F.trim(text) == "", F.array().cast("array<struct<lon:double,lat:double>>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(toks, i * 2 + 2).cast("double").alias("lon"),
-                F.element_at(toks, i * 2 + 1).cast("double").alias("lat"),
-            ),
-        )
+    lats = F.slice(F.filter(toks, lambda x, i: i % 2 == 0), 1, n_pairs)
+    lons = F.slice(F.filter(toks, lambda x, i: i % 2 == 1), 1, n_pairs)
+    pairs = F.zip_with(
+        lons,
+        lats,
+        lambda lo, la: F.struct(lo.cast("double").alias("lon"), la.cast("double").alias("lat")),
     )
+    return F.when(
+        F.trim(text) == "", F.array().cast("array<struct<lon:double,lat:double>>")
+    ).otherwise(pairs)
 
 
 def linestring_length_km(points: Column) -> Column:

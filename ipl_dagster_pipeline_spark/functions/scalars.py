@@ -31,14 +31,17 @@ def concat_trim(*cols: Column) -> Column:
 def split_latlon_pairs(col: Column) -> Column:
     """F6: 'lat lon lat lon …' string → array<struct<lat,lon>>
     (reference: geometry.split() consumed pairwise, cifs.py:251-253,303)."""
+    # alternating-index filters + zip_with instead of element_at inside a
+    # transform lambda: lambda-BODY expressions re-evaluate per element, so
+    # the split would run once per pair — O(tokens²) (see geo.parse_linestring)
     toks = F.split(F.trim(col), r"\s+")
-    idx = F.sequence(F.lit(0), (F.size(toks) / 2).cast("int") - 1)
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i * 2 + 1).cast("double").alias("lat"),
-            F.element_at(toks, i * 2 + 2).cast("double").alias("lon"),
-        ),
+    n_pairs = (F.size(toks) / 2).cast("int")
+    lats = F.slice(F.filter(toks, lambda x, i: i % 2 == 0), 1, n_pairs)
+    lons = F.slice(F.filter(toks, lambda x, i: i % 2 == 1), 1, n_pairs)
+    return F.zip_with(
+        lats,
+        lons,
+        lambda la, lo: F.struct(la.cast("double").alias("lat"), lo.cast("double").alias("lon")),
     )
 
 

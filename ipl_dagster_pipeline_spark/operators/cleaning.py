@@ -155,6 +155,11 @@ def contamination_flags(
     the probe is a semi-join on the hash — at 100 TB the benchmark side is
     tiny and broadcasts.
     """
+    # NOT distinct: the corpus side feeds a broadcast semi-join followed by a
+    # distinct on the id alone, so pre-deduping (id, gram) rows would only add
+    # a corpus-wide exchange the result never needs (r7: removed the fat
+    # (id, gh) shuffle; the semi-join probe is map-side against the broadcast
+    # hash set and the only shuffle left carries the surviving hit ids).
     def grams(df: DataFrame) -> DataFrame:
         norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
         return (
@@ -166,7 +171,6 @@ def contamination_flags(
                 "norm",
             )
             .select(id_col, portable_hash(F.expr(f"substring(norm, i, {k})"), seed).alias("gh"))
-            .distinct()
         )
 
     bench_grams = grams(benchmark).select("gh").distinct()

@@ -201,6 +201,7 @@ class MinHashIndex:
                 return self.pairs.read(spark).limit(0)
 
         batch = batch.select(id_col, text_col)
+        docs_to_commit = batch
         if check_duplicate_ids:
             from pyspark.sql import Window as _W
 
@@ -223,8 +224,18 @@ class MinHashIndex:
                 )
             else:
                 b = b.withColumn("__dup", F.lit(None).cast("boolean"))
-            batch = (
-                b.observe(
+            # persist the FLAGGED (pre-filter) frame; the guarded batch is a
+            # cheap filter over that cache.  The dup observation costs NO
+            # action of its own any more (r6 verdict: the eager batch.count()
+            # was a full extra pass per add_batch): the CollectMetrics node
+            # is attached ABOVE the cache on exactly ONE consumer — the docs
+            # commit, which is the last write of every batch — so it is
+            # top-level in exactly one executed plan and fires with that job.
+            flags = tracked_persist(b)
+            keep = F.col("__dup").isNull() & (F.col("__rn") == 1)
+            batch = flags.filter(keep).drop("__dup", "__rn")
+            docs_to_commit = (
+                flags.observe(
                     obs_dup,
                     F.coalesce(F.sum(F.col("__dup").cast("long")), F.lit(0)).alias(
                         "dropped_dup_ids"
@@ -234,15 +245,9 @@ class MinHashIndex:
                     ),
                     F.count(F.lit(1)).alias("batch_rows"),
                 )
-                .filter(F.col("__dup").isNull() & (F.col("__rn") == 1))
-                .drop("__dup", "__rn")
+                .filter(keep)
+                .select(id_col, text_col)
             )
-            # persist the guarded delta and fire the observation with one
-            # tiny O(batch) action NOW: the downstream pipeline replicates
-            # this subtree across union branches (band_rows) where a
-            # duplicated CollectMetrics node makes the metric unretrievable
-            batch = tracked_persist(batch)
-            batch.count()
 
         sh_new = tracked_persist(shingles(batch, id_col, text_col, p["k"]))
         sig_new = minhash_signatures(sh_new, id_col, p["n_hashes"])
@@ -298,7 +303,14 @@ class MinHashIndex:
         )
         if self.docs.current_snapshot_id() is not None:
             old_docs = self.docs.read(spark).join(old_needed, on=id_col, how="leftsemi")
-            sh_ver = sh_new.unionByName(shingles(old_docs, id_col, text_col, p["k"]))
+            # persist the verification shingle stream: jaccard_pairs reads it
+            # three times (two intersection sides + per-doc counts) and the
+            # old-docs side — docs read + semi-join + re-shingle — would
+            # otherwise recompute per consumer (sh_new alone is already
+            # cached; the union was not)
+            sh_ver = tracked_persist(
+                sh_new.unionByName(shingles(old_docs, id_col, text_col, p["k"]))
+            )
         else:
             sh_ver = sh_new
         new_pairs = jaccard_pairs(cand, sh_ver, id_col, p["threshold"])
@@ -309,7 +321,7 @@ class MinHashIndex:
         if batch_id not in self._committed_batches("bands", self.bands):
             self.bands.commit(bands_new.drop("__new"), mode="append", meta=meta)
         if batch_id not in self._committed_batches("docs", self.docs):
-            self.docs.commit(batch.select(id_col, text_col), mode="append", meta=meta)
+            self.docs.commit(docs_to_commit, mode="append", meta=meta)
         try:
             return self._batch_snapshot_df(spark, self.pairs, batch_id)
         except KeyError:

@@ -29,25 +29,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 WORD_RE = "[a-z0-9]+"
 
 
 def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per bigram OCCURRENCE: (id, a, b).  Words are lowercased
-    ``[a-z0-9]+`` runs (the tokenizer/textstats convention)."""
+    ``[a-z0-9]+`` runs (the tokenizer/textstats convention).
+
+    The token array is BOUND TO A COLUMN in its own projection before the
+    ``transform`` lambda touches it: ``element_at(<inline regex expr>, i)``
+    re-evaluates the regex per element access inside a higher-order
+    function (r7 measurement: 5.7 s → 0.3 s at sf0.1 for the explode
+    alone), while ``element_at(<attribute>, i)`` reads the row's array."""
     arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    ws = F.col("__ws")
     # guard: Spark's sequence(2, n) DESCENDS for n < 2 — emit no pairs instead
     pairs = F.when(
-        F.size(arr) >= 2,
+        F.size(ws) >= 2,
         F.transform(
-            F.sequence(F.lit(2), F.size(arr)),
+            F.sequence(F.lit(2), F.size(ws)),
             lambda i: F.struct(
-                F.element_at(arr, i - 1).alias("a"), F.element_at(arr, i).alias("b")
+                F.element_at(ws, i - 1).alias("a"), F.element_at(ws, i).alias("b")
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    return docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    return (
+        docs.select(F.col(id_col), arr.alias("__ws"))
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     )
 
 
@@ -69,17 +80,29 @@ def with_bigram_surprisal(
     # reduce to per-doc DISTINCT bigrams with occurrence counts FIRST (one
     # map-side-combined agg), so the count-table joins move (doc, bigram)
     # rows, not raw occurrences — the same distinct-vocabulary trick the BPE
-    # tokenizer uses
-    occ = bg.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("n_occ"))
+    # tokenizer uses.  PERSISTED: it feeds the count-model build and the
+    # scoring join (r7 plan audit: unpersisted, the explode+agg subtree ran
+    # three times — once per consumer — because AQE re-planning defeated
+    # exchange reuse).
+    occ = tracked_persist(bg.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("n_occ")))
     cnt_ab = occ.groupBy("a", "b").agg(F.sum("n_occ").alias("c_ab"))
-    cnt_a = occ.groupBy("a").agg(F.sum("n_occ").alias("c_a"))
-    scored = (
-        occ.join(cnt_ab, on=["a", "b"])
-        .join(cnt_a, on="a")
-        .withColumn(
-            "__mnats",
-            F.round(-F.log(F.col("c_ab") / F.col("c_a")) * 1000).cast("long"),
+    # C(a) = Σ_b C(a,b): derive context counts FROM the bigram counts —
+    # bigram-vocabulary-sized input instead of a third aggregation over the
+    # (doc, bigram) frame.  Identical integers by definition.
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # mnats per DISTINCT corpus bigram (vocabulary-sized model table), then
+    # ONE equi-join attaches it to the per-doc rows — one log per bigram
+    # type instead of one per (doc, bigram) row, and one join instead of two.
+    model = (
+        cnt_ab.join(cnt_a, on="a")
+        .select(
+            "a",
+            "b",
+            F.round(-F.log(F.col("c_ab") / F.col("c_a")) * 1000).cast("long").alias("__mnats"),
         )
+    )
+    scored = (
+        occ.join(model, on=["a", "b"])
         .groupBy(id_col)
         .agg(
             F.sum("n_occ").alias("n_bigrams"),
@@ -200,10 +223,30 @@ def pmi_collocations(
     """
     if min_count < 1:
         raise ValueError("pmi_collocations: min_count >= 1 required")
-    bg = doc_bigrams(docs, id_col, text_col)
-    uni = doc_words(docs, id_col, text_col)
-    c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    # tokenize ONCE: the word-array frame is persisted and both the bigram
+    # and the unigram explode read it — unpersisted, the corpus regex pass
+    # ran once per derived frame (r7 plan audit: 2 full regexp_extract_all
+    # scans).  The count tables are vocabulary-sized and each feeds the
+    # totals AND the candidate joins, so they persist too (3 consumers for
+    # c_w, 2 for c_ab).
+    arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+    warr = tracked_persist(docs.select(F.col(id_col), arr.alias("__ws")))
+    ws = F.col("__ws")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(ws)),
+            lambda i: F.struct(
+                F.element_at(ws, i - 1).alias("a"), F.element_at(ws, i).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = warr.select(F.explode(pairs).alias("bg")).select(
+        F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    )
+    uni = warr.select(F.explode(ws).alias("w"))
+    c_ab = tracked_persist(bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")))
+    c_w = tracked_persist(uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
     totals = c_ab.agg(F.coalesce(F.sum("c_ab"), F.lit(0)).alias("n_bg")).crossJoin(
         c_w.agg(F.coalesce(F.sum("c_w"), F.lit(0)).alias("n_uni"))
     )

@@ -116,15 +116,22 @@ def band_rows(
     rows_per_band: int = N_HASHES // N_BANDS,
 ) -> DataFrame:
     """LSH band rows ``(id, band, bucket)`` from an n_hashes-wide signature
-    frame: one pass per band via a stack-style union of narrow selects.
-    Shared by the one-shot ``lsh_candidates`` and the persistent
+    frame: ALL bands in ONE pass (array of structs, then explode).  A
+    union of per-band selects would replicate the signature subtree —
+    shingle explode + minhash aggregation — once per band in the physical
+    plan (r7 plan audit: 4 Generate+HashAggregate chains for 4 bands);
+    the explode reads each signature row exactly once.  Shared by the
+    one-shot ``lsh_candidates`` and the persistent
     ``dedup_index.MinHashIndex`` (the stored probe table IS this frame)."""
-    bands = None
+    structs = []
     for b in range(n_bands):
         cols = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        one = sig.select(F.col(id_col), F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bucket"))
-        bands = one if bands is None else bands.unionByName(one)
-    return bands
+        structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bucket"))
+        )
+    return sig.select(F.col(id_col), F.explode(F.array(*structs)).alias("__bb")).select(
+        id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    )
 
 
 def lsh_candidates(
