@@ -5107,7 +5107,7 @@ def q_event_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     top = exact.orderBy(F.col("exact_cnt").desc(), F.col("user_id")).limit(_CMS_TOP)
-    est = cms_estimate(sk, top, "user_id", seed=_CMS_SEED)
+    est = cms_estimate(sk, top, "user_id", seed=_CMS_SEED, group_cols=[])
     return est.select(
         "user_id",
         "exact_cnt",
@@ -6194,9 +6194,13 @@ def q_incident_xml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-attribute.  from_xml decodes JVM-side (no Python in the loop);
     malformed rows parse to NULL and are dropped before the chain, the
     errors-become-NULL discipline of F1.  Scale: one projection, no shuffle
-    added over incident_pipeline's own joins.
+    added over incident_pipeline's own joins (the fan-out below is a no-op
+    once the source scan is already wide; locally it spreads the per-row
+    XML parse across the session's cores instead of one scan task).
     """
-    ev = _read(spark, sf_dir, "events")
+    from ipl_dagster_pipeline_spark.partitioning import fan_out_scan
+
+    ev = fan_out_scan(_read(spark, sf_dir, "events"))
     id_col = (
         F.when(
             ev.event_id % 5 == 0,

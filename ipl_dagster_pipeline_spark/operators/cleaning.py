@@ -161,7 +161,9 @@ def contamination_flags(
     # (id, gh) shuffle; the semi-join probe is map-side against the broadcast
     # hash set and the only shuffle left carries the surviving hit ids).
     def grams(df: DataFrame) -> DataFrame:
-        norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
+        from ..partitioning import fan_out_scan
+
+        norm = fan_out_scan(df).select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
         return (
             norm.select(
                 id_col,

@@ -249,6 +249,11 @@ class MinHashIndex:
                 .select(id_col, text_col)
             )
 
+        # NOT fanned out: the guarded batch sits behind the dup-guard window
+        # (shingles' adaptive fan-out correctly skips post-shuffle plans),
+        # and an unconditional repartition was MEASURED 2× slower here — the
+        # extra exchange plus fixed-width stages under every cached frame
+        # cost more than the explode parallelism buys on a delta batch
         sh_new = tracked_persist(shingles(batch, id_col, text_col, p["k"]))
         sig_new = minhash_signatures(sh_new, id_col, p["n_hashes"])
         rows_per_band = p["n_hashes"] // p["n_bands"]

@@ -456,10 +456,35 @@ def clip_fit_sketch(
 def impute_fit_sketch(train: DataFrame, cols: list[str]) -> DataFrame:
     """Sketch-based median fill values — drop-in for
     :func:`impute_fit(strategy='median')` (same one-row ``imp_<c>``
-    artifact, consumed by :func:`impute_transform`).  One tiny sketch per
-    column; the cross join of one-row frames is free."""
-    out = None
-    for c in cols:
-        one = quantile_sketch_elements(train, c, {f"imp_{c}": 50})
-        out = one if out is None else out.crossJoin(one)
-    return out
+    artifact, consumed by :func:`impute_transform`).
+
+    ONE scan of ``train`` for ALL columns: melt to ``(col_name, value)``
+    rows and build every per-column log-histogram in a single grouped
+    aggregation, mirroring :func:`quantile_fit_elements`' one-pass
+    discipline (the per-column loop it replaces scanned the train fold
+    once per column).  The per-column quantile rows collapse back to the
+    one-row artifact with a conditional aggregation — never a pivot
+    collect, never a crossJoin chain."""
+    from .sketches import LOGHIST_UNIT, loghist_quantiles, loghist_sketch
+
+    unit = LOGHIST_UNIT
+    melted = train.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__col"), F.col(c).cast("double").alias("__val")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select(F.col("m.__col").alias("__col"), F.col("m.__val").alias("__val"))
+    sk = loghist_sketch(melted, "__val", ["__col"], unit=unit)
+    q = loghist_quantiles(sk, {"med": 50}, ["__col"])
+    return q.agg(
+        *[
+            (F.max(F.when(F.col("__col") == c, F.col("q_med"))) / unit).alias(f"imp_{c}")
+            for c in cols
+        ]
+    )

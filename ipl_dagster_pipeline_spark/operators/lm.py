@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
+from ..partitioning import fan_out_scan
 
 WORD_RE = "[a-z0-9]+"
 
@@ -56,7 +57,7 @@ def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
-        docs.select(F.col(id_col), arr.alias("__ws"))
+        fan_out_scan(docs).select(F.col(id_col), arr.alias("__ws"))
         .select(F.col(id_col), F.explode(pairs).alias("bg"))
         .select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     )
@@ -148,7 +149,7 @@ def source_kl_divergence(
     Null group keys form their own group (eqNullSafe-style semantics via
     null-preserving groupBy).
     """
-    words = docs.select(
+    words = fan_out_scan(docs).select(
         F.col(group_col).alias("g"),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
@@ -188,7 +189,7 @@ def source_kl_divergence(
 def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per word OCCURRENCE: (id, w) — the unigram companion of
     :func:`doc_bigrams`, same tokenization."""
-    return docs.select(
+    return fan_out_scan(docs).select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
@@ -230,7 +231,7 @@ def pmi_collocations(
     # totals AND the candidate joins, so they persist too (3 consumers for
     # c_w, 2 for c_ab).
     arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
-    warr = tracked_persist(docs.select(F.col(id_col), arr.alias("__ws")))
+    warr = tracked_persist(fan_out_scan(docs).select(F.col(id_col), arr.alias("__ws")))
     ws = F.col("__ws")
     pairs = F.when(
         F.size(ws) >= 2,

@@ -116,11 +116,16 @@ def robust_outliers(
     Two ranking passes (values, then absolute deviations) + two broadcast
     joins of one-row-per-group stats frames.
     """
-    med = group_quantiles(
+    from ..caching import tracked_persist
+
+    # persist the strata-sized stats frames: `dev` is consumed twice (the
+    # MAD fit and the final score join), so an unpersisted median frame
+    # would re-run its whole ranked pass per consumer (r7)
+    med = tracked_persist(group_quantiles(
         df.select(*group_cols, value_col, key_col),
         group_cols, value_col, key_col, {med_col: 50}, count_col="__n_med",
         n_partitions=n_partitions,
-    ).drop("__n_med")
+    ).drop("__n_med"))
     med_k = med.select(
         *[F.col(g).alias(f"__mg_{i}") for i, g in enumerate(group_cols)], med_col
     )
@@ -132,11 +137,11 @@ def robust_outliers(
         *[f"__mg_{i}" for i in range(len(group_cols))]
     )
     dev = with_med.withColumn("__adev", F.abs(F.col(value_col) - F.col(med_col)))
-    mad = group_quantiles(
+    mad = tracked_persist(group_quantiles(
         dev.select(*group_cols, "__adev", key_col),
         group_cols, "__adev", key_col, {mad_col: 50}, count_col="__n_mad",
         n_partitions=n_partitions,
-    ).drop("__n_mad")
+    ).drop("__n_mad"))
     mad_k = mad.select(
         *[F.col(g).alias(f"__dg_{i}") for i, g in enumerate(group_cols)], mad_col
     )

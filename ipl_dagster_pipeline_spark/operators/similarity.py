@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
 from ..metrics import register_observation
+from ..partitioning import fan_out_scan
 
 # odd 64-bit multiplier (golden-ratio constant); bit 17 of K*i is a cheap,
 # well-mixed pseudo-random bit.  NOTE: (K*i) % 2 would collapse to parity(i) —
@@ -85,12 +86,18 @@ def cosine_topk_bruteforce(
     """
     from pyspark.sql import Window
 
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    # norms are bound per ROW before the pair join: cosine(qv, v) would
+    # re-fold both norms per PAIR (interpreted HOF aggregates — Q×N×dim
+    # steps); precomputing them is Q·dim + N·dim and bit-identical (the
+    # norm product keeps the same operand order the oracle uses)
+    base = fan_out_scan(emb).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("__nv", _norm(F.col("v")))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("__nv").alias("__nq")
     )
     pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).withColumn(
-        "cos", F.round(cosine(F.col("qv"), F.col("v")), 6)
+        "cos", F.round(_dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -144,7 +151,10 @@ def lsh_topk(
     id-equi-join to fetch vectors — never a cross product."""
     from pyspark.sql import Window
 
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    emb = fan_out_scan(emb)  # the 32-dot-product bucket projection is map-heavy
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
+        "__nv", _norm(F.col("v"))  # per-row norm, not per-pair (see bruteforce)
+    )
     buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col)
     qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "tbl", "bucket"
@@ -156,12 +166,12 @@ def lsh_topk(
         .distinct()
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("__nv").alias("__nq")
     )
     pairs = (
         cand.join(base, on=id_col)
         .join(F.broadcast(q), on="query_id")
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -317,11 +327,22 @@ def ivf_topk_pinned(
                 "cos double, rnk int"
         )
 
+    def _self_dot(cvals: list[float]) -> float:
+        # the same left-to-right fold F.aggregate performs, done at plan
+        # time — c·c is a constant, not a per-row 2·dim interpreted fold
+        acc = 0.0
+        for x in cvals:
+            acc = acc + x * x
+        return acc
+
     def dist_to(cvals: list[float]):
         clit = F.array(*[F.lit(x) for x in cvals])
-        v = F.col("v")
-        # identical association on both engines: (v·v - 2(v·c)) + c·c
-        return F.round((_dot(v, v) - F.lit(2.0) * _dot(v, clit)) + _dot(clit, clit), 6)
+        # identical association on both engines: (v·v - 2(v·c)) + c·c;
+        # v·v is bound once per row as __vv (16 centroids would otherwise
+        # re-fold it 16× per row), c·c is a literal (same IEEE value)
+        return F.round(
+            (F.col("__vv") - F.lit(2.0) * _dot(F.col("v"), clit)) + F.lit(_self_dot(cvals)), 6
+        )
 
     darr = F.array(
         *[
@@ -329,9 +350,9 @@ def ivf_topk_pinned(
             for c, cvals in cents
         ]
     )
-    withd = base.withColumn("__darr", darr)
+    withd = base.withColumn("__vv", _dot(F.col("v"), F.col("v"))).withColumn("__darr", darr)
     assigned = withd.withColumn("cell", F.array_min("__darr").getField("cell")).select(
-        id_col, "v", "cell"
+        id_col, "v", "cell", F.sqrt("__vv").alias("__nv")
     )
     probes = (
         withd.filter(F.col(id_col).isin(query_ids))
@@ -346,13 +367,13 @@ def ivf_topk_pinned(
         )
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), _norm(F.col("v")).alias("__nq")
     )
     cand = assigned.join(F.broadcast(probes), on="cell").filter(
         F.col(id_col) != F.col("query_id")
     )
     pairs = cand.join(F.broadcast(q), on="query_id").withColumn(
-        "cos", F.round(cosine(F.col("qv"), F.col("v")), 6)
+        "cos", F.round(_dot(F.col("qv"), F.col("v")) / (F.col("__nq") * F.col("__nv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -389,7 +410,10 @@ def near_dup_pairs_lsh(
     """
     from pyspark.sql import Window
 
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    emb = fan_out_scan(emb)  # the 32-dot-product bucket projection is map-heavy
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
+        "__nv", _norm(F.col("v"))  # per-row norm, not per-pair (see bruteforce)
+    )
     buckets = hyperplane_buckets_tall(emb, n_planes, n_tables, dim, id_col, vec_col)
     wb = Window.partitionBy("tbl", "bucket")
     # persist the SIZED frame; observe the dropped count ABOVE the cache on
@@ -418,11 +442,11 @@ def near_dup_pairs_lsh(
         .select(F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b"))
         .distinct()
     )
-    va = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
-    vb = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    va = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("__nv").alias("__na"))
+    vb = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("__nv").alias("__nb"))
     pairs = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6))
     )
     return pairs.filter(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")

@@ -199,7 +199,11 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def cms_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, seed: int = 53
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    seed: int = 53,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for a (small) candidate-key frame:
     est(key) = min over rows of counter[r, h_r(key)] — the classic CMS probe,
@@ -213,8 +217,25 @@ def cms_estimate(
     the probe then joins on them too (they must be present in ``keys``), so
     counters are never mixed across groups — mixing would let min() return
     an estimate BELOW the true per-group count, violating the est ≥ true
-    CMS guarantee (round-5 ADVICE)."""
-    group_cols = [c for c in sketch.columns if c not in ("r", "c", "cnt")]
+    CMS guarantee (round-5 ADVICE).
+
+    Pass ``group_cols`` explicitly (the list given to :func:`cms_sketch`)
+    when the sketch frame carries extra columns or a key column literally
+    named ``r``/``c``/``cnt`` — the schema-inference fallback ("everything
+    except r/c/cnt") would silently turn such columns into equi-join keys
+    (round-6 ADVICE).  When provided, the sketch schema is validated
+    against it instead of trusted."""
+    inferred = [c for c in sketch.columns if c not in ("r", "c", "cnt")]
+    if group_cols is None:
+        group_cols = inferred
+    else:
+        extra = [c for c in inferred if c not in group_cols]
+        if extra:
+            raise ValueError(
+                f"cms_estimate: sketch carries non-counter columns {extra} "
+                f"beyond the declared group_cols={group_cols} — rebuild the "
+                f"sketch with cms_sketch(df, {group_cols}, ...) or declare them"
+            )
     missing = [c for c in group_cols if c not in keys.columns]
     if missing:
         raise ValueError(

@@ -174,12 +174,17 @@ def feature_psi(
     reacts to the actual frame's movement.  Scale shape: one ranked pass
     over expected for the edges, then pure-projection binning + one
     bin-key aggregation per side (bins, not rows, reach the join)."""
+    from ipl_dagster_pipeline_spark.caching import tracked_persist
     from ipl_dagster_pipeline_spark.operators.featurize import (
         quantile_bins_fit,
         quantile_bins_transform,
     )
 
-    edges = quantile_bins_fit(expected, col, key_col, n_bins, n_partitions=n_partitions)
+    # persist the one-row edges artifact: BOTH bin_counts sides cross-join
+    # it, and unpersisted each side re-ran the whole ranked fit pass (r7)
+    edges = tracked_persist(
+        quantile_bins_fit(expected, col, key_col, n_bins, n_partitions=n_partitions)
+    )
 
     def bin_counts(df: DataFrame, out: str) -> DataFrame:
         binned = quantile_bins_transform(df, edges, col, n_bins, out_col="__qb")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
 from ..metrics import register_observation
+from ..partitioning import fan_out_scan
 
 # 16 hashes in 4 bands of 4 → LSH collision threshold ≈ (1/4)^(1/4) ≈ 0.71
 # Jaccard.  Bands of 2 are far too permissive on narrow-vocabulary corpora:
@@ -84,8 +85,11 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
     """Distinct character k-shingles per document (1-based positions, so the
-    construction is reproducible in ANSI SQL)."""
-    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
+    construction is reproducible in ANSI SQL).  The source is fanned out
+    first: the explode+hash map work is ~|text| per doc and a single-split
+    source would serialize it on one core (fan_out_scan is a no-op on
+    already-wide inputs)."""
+    norm = fan_out_scan(docs).select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
     return (
         norm.select(
             id_col,
@@ -326,8 +330,9 @@ def positional_kgram_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5, seed: int = 31
 ) -> DataFrame:
     """(doc, pos, h): portable hash of the k-gram at every 1-based position of
-    the normalized text (NOT distinct — winnowing needs the position stream)."""
-    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
+    the normalized text (NOT distinct — winnowing needs the position stream).
+    Fanned out before the explode for the same reason as :func:`shingles`."""
+    norm = fan_out_scan(docs).select(F.col(id_col), normalize_text(F.col(text_col)).alias("norm"))
     return norm.select(
         id_col,
         F.explode(
@@ -380,7 +385,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """Per-doc SimHash over distinct word tokens: bit b of the signature is
     the sign of sum(±1) of token-hash bit b."""
     tokens = (
-        docs.select(
+        fan_out_scan(docs).select(
             F.col(id_col),
             F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))).alias("t"),
         )

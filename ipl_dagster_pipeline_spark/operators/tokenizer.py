@@ -89,7 +89,9 @@ def with_bpe_token_counts(
     map-side-combined (doc, word) counts → distinct-vocab projection (the
     replace chain, codegen) → join → sum.
     """
-    words = docs.select(
+    from ..partitioning import fan_out_scan
+
+    words = fan_out_scan(docs).select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))

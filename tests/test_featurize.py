@@ -243,3 +243,29 @@ def test_sketch_fits_drop_in_for_exact_fits(spark):
     assert out.filter(
         (F.col("clipped_v") < sk_clip["clip_lo"]) | (F.col("clipped_v") > sk_clip["clip_hi"])
     ).count() == 0
+
+
+def test_impute_fit_sketch_single_scan_for_many_columns(spark):
+    """Round-6 verdict #2 'done' criterion: the sketch-based multi-column
+    impute fit melts (col, value) once — the physical plan holds exactly ONE
+    scan of the train source for k columns (the per-column loop it replaced
+    scanned once per column)."""
+    from ipl_dagster_pipeline_spark.operators.featurize import impute_fit_sketch
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ipl_fit_")
+    spark.range(0, 500).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 3 % 101).cast("double").alias("b"),
+        (F.col("id") % 11).cast("double").alias("c"),
+    ).write.mode("overwrite").parquet(path)
+    train = spark.read.parquet(path)
+    fit = impute_fit_sketch(train, ["a", "b", "c"])
+    plan = fit._sc._jvm.PythonSQLUtils.explainString(fit._jdf.queryExecution(), "formatted")
+    # one scan node == one "Location:" detail line (each node prints twice:
+    # once in the tree, once in the operator details)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    row = fit.collect()[0]
+    assert set(fit.columns) == {"imp_a", "imp_b", "imp_c"}
+    assert all(row[c] is not None for c in fit.columns)

@@ -300,3 +300,21 @@ def test_round6_plan_shapes(spark, tmp_path):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fan_out_scan_adaptive(spark, tmp_path):
+    """fan_out_scan spreads a narrow under-split scan to the session's
+    parallelism, and refuses to touch wide plans (probing one under AQE
+    would execute its stages)."""
+    from ipl_dagster_pipeline_spark.partitioning import fan_out_scan
+
+    p = str(tmp_path / "one")
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    wide_target = spark.sparkContext.defaultParallelism
+    out = fan_out_scan(df)
+    assert out.rdd.getNumPartitions() == wide_target
+    # wide plan (aggregate) returned untouched — same object, no added shuffle
+    agg = df.groupBy((F.col("id") % 3).alias("g")).count()
+    assert fan_out_scan(agg) is agg

@@ -222,3 +222,21 @@ def test_loghist_sketch_drops_non_finite(spark):
     )
     got = {(r.bound, r.cnt) for r in loghist_sketch(df, "v").collect()}
     assert got == {(960, 2)}  # m=1000 → top-4-bit lower bound 960; nothing else
+
+
+def test_cms_estimate_explicit_group_cols_guard(spark):
+    """Round-6 ADVICE: schema inference ("everything except r/c/cnt") would
+    silently equi-join on any stray column in the sketch frame.  With
+    group_cols passed explicitly, a sketch carrying undeclared extras is
+    REJECTED instead of mis-probed; the empty-group declaration matches the
+    ungrouped build."""
+    from ipl_dagster_pipeline_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "v long")
+    sk = cms_sketch(df, [], F.col("v"))
+    probe = df.distinct()
+    est = {r.v: r.cms_est for r in cms_estimate(sk, probe, "v", group_cols=[]).collect()}
+    assert est[1] >= 2 and est[2] >= 1
+    poisoned = sk.withColumn("stray", F.lit(7))
+    with pytest.raises(ValueError, match="stray"):
+        cms_estimate(poisoned, probe, "v", group_cols=[])
