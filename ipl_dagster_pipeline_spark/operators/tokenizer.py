@@ -89,9 +89,12 @@ def with_bpe_token_counts(
     map-side-combined (doc, word) counts → distinct-vocab projection (the
     replace chain, codegen) → join → sum.
     """
-    from ..partitioning import fan_out_scan
-
-    words = fan_out_scan(docs).select(
+    # NOT fanned out (fan_out_scan was measured a consistent LOSS here —
+    # the word explode feeds straight into keyed aggregations whose
+    # map-side partials are corpus-vocabulary-keyed, so spreading the scan
+    # multiplies the partial-agg output per partition; interleaved A/B at
+    # sf0.1: min 2.6 s without vs 4.4 s with)
+    words = docs.select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))

@@ -65,7 +65,16 @@ def stream_dedup_index(
     def _apply(batch_df, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        index.add_batch(batch_df, batch_id=f"stream-{batch_id}")
+        # tag scoped to the checkpoint GENERATION (round-6 ADVICE): a fresh
+        # or lost checkpoint renumbers batches from 0 with different
+        # contents, and an unscoped "stream-0" tag from the old lineage
+        # would silently skip them.  With the generation in the tag the new
+        # lineage's batches are processed; docs already indexed are dropped
+        # by add_batch's duplicate-id guard, so re-delivery stays correct.
+        from . import checkpoint_generation
+
+        gen = checkpoint_generation(checkpoint_path)
+        index.add_batch(batch_df, batch_id=f"stream-{gen}-{batch_id}")
         if maintain_every and batch_id > 0 and batch_id % maintain_every == 0:
             index.maintain(spark, keep_last=maintain_keep_last)
 

@@ -102,3 +102,25 @@ def test_stream_starts_on_fresh_deployment_before_first_file(spark, docs, tmp_pa
     # an index with docs can infer the schema itself even if files vanish
     q3 = stream_dedup_index(spark, str(tmp_path / "in2") + "/*", idx, str(tmp_path / "ckpt2"))
     q3.awaitTermination(60)
+
+
+def test_stream_dedup_fresh_checkpoint_still_indexes_new_files(spark, docs, tmp_path):
+    """Round-6 ADVICE failure scenario: a lost checkpoint restarts batch
+    numbering at 0, so an unscoped "stream-0" tag from the old lineage
+    would silently skip the fresh lineage's first batch — including files
+    the index has never seen.  Generation-scoped tags process it; docs
+    already indexed are dropped by the duplicate-id guard."""
+    inp = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(f"{inp}/f1")
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    q = stream_dedup_index(spark, f"{inp}/*", idx, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    n_first = idx.docs.read(spark).count()
+
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(f"{inp}/f2")
+    # LOST checkpoint: fresh dir, batch ids restart at 0, both files delivered
+    q2 = stream_dedup_index(spark, f"{inp}/*", idx, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert n_first < docs.count()
+    assert idx.docs.read(spark).count() == docs.count()  # new file indexed once
+    assert idx.docs.read(spark).groupBy("doc_id").count().filter("count > 1").count() == 0

@@ -115,3 +115,31 @@ def test_streaming_sketch_housekeeping_bounds_snapshots(spark, tmp_path):
         maintain_every=2, keep_last=1,
     ).awaitTermination()
     assert tbl.read(spark).agg(F.sum("cnt").alias("n")).collect()[0].n == before == 200
+
+
+def test_streaming_sketch_fresh_checkpoint_new_file_counts_once(spark, tmp_path):
+    """Round-6 ADVICE failure scenario: the checkpoint dir is LOST and the
+    stream restarts with a fresh one — Spark renumbers batches from 0 and
+    delivers ALL files (old + one genuinely new) in the first batch.  The
+    file-level registry must merge ONLY the new file's rows: no double
+    count of history, no silent skip of the new file (a raw b0 tag match
+    did the latter)."""
+    input_dir = str(tmp_path / "in")
+    table = str(tmp_path / "sk")
+    spark.range(0, 100).select((F.col("id") / 9.0).alias("v")).coalesce(1).write.parquet(
+        f"{input_dir}/f1"
+    )
+    stream_sketch_maintenance(
+        spark, f"{input_dir}/*", table, "v", None, str(tmp_path / "ck1")
+    ).awaitTermination()
+    tbl = SnapshotTable(table)
+    assert tbl.read(spark).agg(F.sum("cnt").alias("n")).collect()[0].n == 100
+
+    # new arrival + LOST checkpoint: fresh dir re-delivers everything as b0
+    spark.range(100, 150).select((F.col("id") / 9.0).alias("v")).coalesce(1).write.parquet(
+        f"{input_dir}/f2"
+    )
+    stream_sketch_maintenance(
+        spark, f"{input_dir}/*", table, "v", None, str(tmp_path / "ck2")
+    ).awaitTermination()
+    assert tbl.read(spark).agg(F.sum("cnt").alias("n")).collect()[0].n == 150
