@@ -149,7 +149,11 @@ def source_kl_divergence(
     Null group keys form their own group (eqNullSafe-style semantics via
     null-preserving groupBy).
     """
-    words = fan_out_scan(docs).select(
+    # NOT fanned out: the explode feeds (group, word) counts — vocabulary-
+    # keyed map-side partials multiply with the partition count (same
+    # mechanism as with_bpe_token_counts; three full-bench runs showed the
+    # fan-out a consistent +0.3–0.9 s loss here)
+    words = docs.select(
         F.col(group_col).alias("g"),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
@@ -189,7 +193,9 @@ def source_kl_divergence(
 def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per word OCCURRENCE: (id, w) — the unigram companion of
     :func:`doc_bigrams`, same tokenization."""
-    return fan_out_scan(docs).select(
+    # not fanned out — consumers aggregate on vocabulary keys (see
+    # source_kl_divergence note)
+    return docs.select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
