@@ -199,29 +199,41 @@ def lsh_candidates(
 def jaccard_pairs(
     cand: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|).
-    Joins are equi-joins on (doc, shingle); candidate set keeps them sparse."""
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|)."""
     return (
-        _jaccard(cand, sh, counts, id_col)
+        _jaccard(cand, sh, id_col)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
-def _jaccard(cand: DataFrame, sh: DataFrame, counts: DataFrame, id_col: str) -> DataFrame:
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("s"))
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("s"))
-    inter = (
-        cand.join(sh_a, "doc_a").join(sh_b, ["doc_b", "s"]).groupBy("doc_a", "doc_b").agg(
-            F.count("*").alias("n_inter")
-        )
-    )
-    n_a = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    n_b = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+def _jaccard(cand: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    # Fold each doc's (distinct) shingle stream into ONE array row and verify
+    # pairs with array_intersect: the shingle table is scanned once (a single
+    # doc-keyed groupBy) instead of three times, and the widest exchange of
+    # the old formulation — candidate×|A| duplicated shingle rows re-keyed by
+    # (doc_b, s) — disappears; each pair is verified independently in the
+    # projection after two id-keyed joins.  Per-pair both arrays ship where
+    # the row form duplicated one side, but candidate fan-out is capped
+    # upstream (max_bucket) and an array is the same payload class (≈k×text
+    # bytes) the pipeline already shuffles as doc text.  |A∩B| over distinct
+    # arrays equals the (doc, shingle) join count exactly, so the jaccard
+    # values are bit-identical.
+    # persisted: the fold feeds BOTH join sides (a and b) — tracked so the
+    # harness's release_tracked() frees it after the consuming action
+    arrs = tracked_persist(sh.groupBy(id_col).agg(F.collect_list("s").alias("__arr")))
+    a = arrs.select(F.col(id_col).alias("doc_a"), F.col("__arr").alias("__arr_a"))
+    b = arrs.select(F.col(id_col).alias("doc_b"), F.col("__arr").alias("__arr_b"))
     return (
-        inter.join(n_a, "doc_a")
-        .join(n_b, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__arr_a", "__arr_b")).alias("n_inter"),
+            F.size("__arr_a").alias("n_a"),
+            F.size("__arr_b").alias("n_b"),
+        )
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
     )
 
@@ -308,10 +320,9 @@ def minhash_lsh_dedup(
     Jaccard verification of candidates → pairs ≥ threshold.
 
     ``sh`` is persisted: it feeds the signature aggregation once and the
-    Jaccard verification THREE more times (two sides of the intersection
-    join + the per-doc counts) — without the persist the whole
-    normalize→explode→distinct lineage re-runs per consumer (round-1 bench:
-    14.6 s at sf0.1; single-pass target ≤5 s).
+    Jaccard verification's per-doc array fold once more — without the
+    persist the whole normalize→explode→distinct lineage re-runs per
+    consumer (round-1 bench: 14.6 s at sf0.1; single-pass target ≤5 s).
 
     ``storage_level``: the shingle stream is ~|text| rows; at 100 TB pass
     ``StorageLevel.DISK_ONLY`` (or point spark.local.dir at fast scratch) —
